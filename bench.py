@@ -1,0 +1,89 @@
+"""Benchmark: candidate 512x512 renders/s per chip (BASELINE.md north star).
+
+Measures the full evaluation pipeline the optimizers drive — axes-angle
+genome -> codec -> renderer -> masked-MSE fitness — for a population batch,
+on whatever accelerator is attached. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is value / 10_000 (the >=10k renders/s/chip target; the
+reference publishes no numbers of its own — BASELINE.md).
+
+Env overrides: GGS_BENCH_H/W (canvas), GGS_BENCH_N (splats),
+GGS_BENCH_B (batch), GGS_BENCH_IMPL (pallas|xla|auto), GGS_BENCH_ITERS.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _env_int(name, default):
+    return int(os.environ.get(name, default))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ggs_tpu.ops import mask as mask_mod
+    from ggs_tpu.ops import objective
+    from ggs_tpu.models import genome
+
+    H = _env_int("GGS_BENCH_H", 512)
+    W = _env_int("GGS_BENCH_W", 512)
+    N = _env_int("GGS_BENCH_N", 512)
+    B = _env_int("GGS_BENCH_B", 64)
+    iters = _env_int("GGS_BENCH_ITERS", 5)
+    impl = os.environ.get("GGS_BENCH_IMPL", "auto")
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        try:
+            from ggs_tpu.ops import render_pallas  # noqa: F401
+        except Exception as e:  # kernel not available yet -> XLA path
+            print(f"[bench] pallas unavailable ({e}); falling back to xla", file=sys.stderr)
+            impl = "xla"
+
+    obj = objective.Objective(H=H, W=W, impl=impl)
+    key = jax.random.PRNGKey(0)
+    pop = genome.new_population(key, B, N, H, W)
+    target = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3), dtype=jnp.float32)
+    wm = mask_mod.compute_importance_mask(target, H, W, smooth=3, strength=0.7)
+
+    @jax.jit
+    def eval_fn(pop, target, wm):
+        return objective.evaluate(obj, pop, target, wm)
+
+    # Warmup / compile (kept out of timings, like the reference's prewarm,
+    # modules/utils.py:73-82). Sync by pulling a scalar: under the axon
+    # tunnel block_until_ready returns before execution finishes.
+    float(eval_fn(pop, target, wm).sum())
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eval_fn(pop, target, wm)
+    float(out.sum())
+    dt = time.perf_counter() - t0
+
+    renders_per_s = (B * iters) / dt
+    print(
+        f"[bench] impl={impl} backend={jax.default_backend()} "
+        f"B={B} N={N} {H}x{W} iters={iters} time={dt:.3f}s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"candidate_renders_per_s_{H}x{W}_{N}splats",
+                "value": round(renders_per_s, 2),
+                "unit": "renders/s/chip",
+                "vs_baseline": round(renders_per_s / 10_000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,291 @@
+"""Generational GA with elitism, as a single jitted device step.
+
+The reference's loop (modules/algorithm.py:85-163) runs selection,
+crossover, and mutation on host Python over a list of tensors, with a
+device->host fitness sync every generation (fitness.py:42). Here one
+generation — tournament selection, pairwise uniform crossover, vmapped
+mutation, offspring evaluation, elitism, best tracking — is one traced
+function over a [P, N, 9] population array, and `run_block` scans
+`log_every` generations per host round-trip. Semantics preserved:
+tournament-with-replacement, per-pair cxpb gating, annealed mutation
+sigmas, elite_k best carried over, 1e-10 best-improvement epsilon, and
+best/mean/median curves per generation (algorithm.py:71-75, 144-155).
+Consciously fixed (SURVEY.md §7): elites are not re-rendered every
+generation unless GAConfig.reeval_elites — fitness is deterministic.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GAConfig, GenomeConfig, MutSigma
+from ..ops import objective as objective_mod
+from ..ops.objective import Objective
+from . import genome as genome_mod
+from . import operators
+
+
+class GAState(NamedTuple):
+    pop: jnp.ndarray  # [P, N, 9] axes-angle genomes
+    fits: jnp.ndarray  # [P]
+    best: jnp.ndarray  # [N, 9]
+    best_fit: jnp.ndarray  # scalar f32
+    no_improve: jnp.ndarray  # scalar i32
+    key: jax.Array
+    gen: jnp.ndarray  # scalar i32
+
+
+def init(
+    key: jax.Array,
+    obj: Objective,
+    target: jnp.ndarray,
+    weight_mask: Optional[jnp.ndarray],
+    ga: GAConfig,
+    gnm: GenomeConfig,
+) -> GAState:
+    """Fresh population + initial evaluation (modules/algorithm.py:55-68)."""
+    key, k_pop = jax.random.split(key)
+    pop = genome_mod.new_population(
+        k_pop, ga.pop_size, gnm.n_splats, obj.H, obj.W, gnm.min_scale, gnm.max_scale
+    )
+    fits = objective_mod.evaluate(obj, pop, target, weight_mask)
+    b = jnp.argmin(fits)
+    return GAState(
+        pop=pop,
+        fits=fits,
+        best=pop[b],
+        best_fit=fits[b],
+        no_improve=jnp.int32(0),
+        key=key,
+        gen=jnp.int32(0),
+    )
+
+
+def _offspring(
+    key: jax.Array, pop: jnp.ndarray, fits: jnp.ndarray, ga: GAConfig, gen: jnp.ndarray,
+    obj: Objective, gnm: GenomeConfig, sig_max: dict, sig_min: dict,
+) -> jnp.ndarray:
+    """Selection + crossover + mutation -> [P, N, 9] offspring."""
+    P, N, _ = pop.shape
+    k_sel, k_shuf, k_cx, k_cxm, k_mut = jax.random.split(key, 5)
+
+    # Tournament parents, then shuffle (algorithm.py:87-91)
+    sel = operators.tournament_selection(k_sel, fits, P, ga.tour_k)
+    parents = pop[sel][jax.random.permutation(k_shuf, P)]
+
+    # Pair off; crossover each pair w.p. cxpb else clone (algorithm.py:94-100)
+    a = parents[0::2]
+    b = parents[1::2]
+    do_cx = jax.random.uniform(k_cx, (P // 2, 1, 1)) < ga.cxpb
+    m = jax.random.uniform(k_cxm, (P // 2, N, 1)) < 0.5
+    m_eff = m | ~do_cx  # not crossing -> child1 = a, child2 = b
+    c1 = jnp.where(m_eff, a, b)
+    c2 = jnp.where(m_eff, b, a)
+    offspring = jnp.stack([c1, c2], axis=1).reshape(P, N, 9)
+
+    sig = genome_mod.build_mut_sigma(gen, ga.generations, ga.schedule, sig_max, sig_min)
+    return operators.mutate_population(
+        k_mut, offspring, sig, ga.mutpb, obj.H, obj.W, gnm.min_scale, gnm.max_scale
+    )
+
+
+def step(
+    state: GAState,
+    obj: Objective,
+    target: jnp.ndarray,
+    weight_mask: Optional[jnp.ndarray],
+    ga: GAConfig,
+    gnm: GenomeConfig,
+    sig_max: dict,
+    sig_min: dict,
+) -> Tuple[GAState, jnp.ndarray]:
+    """One generation. Returns (state, [best, mean, median] of the new pop)."""
+    P = state.pop.shape[0]
+    E = max(1, ga.elite_k)
+    key, k_off = jax.random.split(state.key)
+    gen = state.gen + 1
+
+    offspring = _offspring(k_off, state.pop, state.fits, ga, gen, obj, gnm, sig_max, sig_min)
+    off_fits = objective_mod.evaluate(obj, offspring, target, weight_mask)
+
+    # Elitism: keep the E best of the current population (algorithm.py:129-141)
+    _, elite_idx = jax.lax.top_k(-state.fits, E)
+    elites = state.pop[elite_idx]
+    if ga.reeval_elites:
+        elite_fits = objective_mod.evaluate(obj, elites, target, weight_mask)
+    else:
+        elite_fits = state.fits[elite_idx]
+
+    pop = jnp.concatenate([elites, offspring[: P - E]], axis=0)
+    fits = jnp.concatenate([elite_fits, off_fits[: P - E]], axis=0)
+
+    gb = jnp.argmin(fits)
+    improved = fits[gb] + 1e-10 < state.best_fit
+    best = jnp.where(improved, pop[gb], state.best)
+    best_fit = jnp.where(improved, fits[gb], state.best_fit)
+    no_improve = jnp.where(improved, 0, state.no_improve + 1)
+
+    metrics = jnp.stack([best_fit, jnp.mean(fits), jnp.median(fits)])
+    new_state = GAState(pop, fits, best, best_fit, no_improve.astype(jnp.int32), key, gen)
+    return new_state, metrics
+
+
+def make_run_block(
+    obj: Objective,
+    ga: GAConfig,
+    gnm: GenomeConfig,
+    sig_max: Optional[MutSigma] = None,
+    sig_min: Optional[MutSigma] = None,
+):
+    """Build a jitted (state, target, weight_mask, num_gens) -> (state, metrics)."""
+    sig_max_d = (sig_max or MutSigma.max_defaults()).__dict__
+    sig_min_d = (sig_min or MutSigma.min_defaults()).__dict__
+
+    @partial(jax.jit, static_argnames=("num_gens",), donate_argnums=(0,))
+    def run(state: GAState, target, weight_mask, num_gens: int):
+        def body(st, _):
+            return step(st, obj, target, weight_mask, ga, gnm, sig_max_d, sig_min_d)
+
+        return jax.lax.scan(body, state, None, length=num_gens)
+
+    return run
+
+
+def genetic_approx(
+    target_img,
+    H: int,
+    W: int,
+    *,
+    obj: Objective,
+    ga: GAConfig,
+    gnm: GenomeConfig,
+    mask_cfg=None,
+    sig_max: Optional[MutSigma] = None,
+    sig_min: Optional[MutSigma] = None,
+    seed: int = 42,
+    log_every: int = 50,
+    save_video: bool = False,
+    frame_every: int = 5000,
+    video_dir: str = "",
+    prefix: str = "ga",
+    loss_png_path: str = "",
+    loss_csv_path: str = "",
+    loss_log_y: bool = False,
+    checkpoint_path: str = "",
+    checkpoint_every: int = 0,
+    resume_from: str = "",
+    progress: bool = True,
+):
+    """Host driver: full GA run with curves/frames/checkpoints.
+
+    The run_ggs.py / modules/algorithm.py:17-195 equivalent. The host loop
+    only paces logging: `log_every` generations execute per jitted block
+    (one device round-trip each), so raising it amortizes sync cost.
+    Returns (best_genome [N,9] np, best_fit float, curves dict).
+    """
+    import numpy as np
+
+    from ..config import MaskConfig
+    from ..ops import mask as mask_mod
+    from ..utils import checkpoint as ckpt_mod
+    from ..utils import curves as curves_mod
+    from ..utils import io as io_mod
+
+    mask_cfg = mask_cfg if mask_cfg is not None else MaskConfig()
+
+    target = io_mod.ensure_hw(jnp.asarray(target_img), H, W)
+    weight_mask = mask_mod.compute_importance_mask(
+        target,
+        H,
+        W,
+        edge_scales=tuple(mask_cfg.edge_scales),
+        w_edge=mask_cfg.w_edge,
+        w_var=mask_cfg.w_var,
+        gamma=mask_cfg.gamma,
+        floor=mask_cfg.floor,
+        smooth=mask_cfg.smooth,
+        strength=mask_cfg.strength,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    state = init(key, obj, target, weight_mask, ga, gnm)
+    start_gen = 0
+    curves = {
+        "best": [float(state.best_fit)],
+        "mean": [float(jnp.mean(state.fits))],
+        "median": [float(jnp.median(state.fits))],
+    }
+    if resume_from:
+        state, meta = ckpt_mod.load_checkpoint(resume_from, state)
+        start_gen = int(meta.get("gen", 0))
+        curves = meta.get("curves", curves)
+
+    run = make_run_block(obj, ga, gnm, sig_max, sig_min)
+
+    pad = len(str(ga.generations))
+    if save_video and start_gen == 0:
+        io_mod.save_frame_png(
+            0, state.best, pad, prefix, video_dir, H, W, obj.k_sigma, save_video, impl=obj.impl
+        )
+
+    pbar = None
+    if progress:
+        try:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(total=ga.generations, initial=start_gen, desc="GA generations")
+        except Exception:
+            pbar = None
+
+    gen = start_gen
+    last_frame_bucket = gen // max(1, frame_every)
+    try:
+        while gen < ga.generations:
+            block = min(log_every, ga.generations - gen)
+            state, metrics = run(state, target, weight_mask, block)
+            metrics = np.asarray(jax.device_get(metrics))  # [block, 3]
+            curves["best"].extend(metrics[:, 0].tolist())
+            curves["mean"].extend(metrics[:, 1].tolist())
+            curves["median"].extend(metrics[:, 2].tolist())
+            gen += block
+
+            if save_video:
+                bucket = gen // max(1, frame_every)
+                if bucket > last_frame_bucket:
+                    last_frame_bucket = bucket
+                    io_mod.save_frame_png(
+                        gen, state.best, pad, prefix, video_dir, H, W, obj.k_sigma,
+                        save_video, impl=obj.impl,
+                    )
+            if checkpoint_path and checkpoint_every and gen % checkpoint_every < block:
+                ckpt_mod.save_checkpoint(
+                    checkpoint_path, state, meta={"gen": gen, "curves": curves}
+                )
+            if pbar is not None:
+                f = float(genome_mod.anneal_factor(gen, ga.generations, ga.schedule))
+                pbar.update(block)
+                pbar.set_postfix(
+                    best_mse=f"{float(state.best_fit):.6f}",
+                    stale=int(state.no_improve),
+                    sigma_fac=f"{f:.3f}",
+                )
+    except KeyboardInterrupt:
+        print("\n[Interrupted] Returning current best individual…", flush=True)
+    finally:
+        if pbar is not None:
+            pbar.close()
+
+    try:
+        curves_mod.save_loss_curve_png(
+            curves, loss_png_path, title=f"{prefix} fitness", xlabel="Generation",
+            ylabel="MSE", log_y=loss_log_y,
+        )
+        curves_mod.save_curves_csv(curves, loss_csv_path)
+    except Exception as e:  # pragma: no cover
+        print(f"[warn] Could not save loss curves: {e}")
+
+    best = np.asarray(jax.device_get(state.best))
+    return best, float(state.best_fit), curves

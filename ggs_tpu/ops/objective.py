@@ -1,0 +1,92 @@
+"""End-to-end objective: axes-angle genomes -> fitness, entirely on device.
+
+Replaces the reference's fitness_population (modules/fitness.py:35-47),
+which stacked a Python list of tensors, rendered, reduced, and synced a
+List[float] to host every generation. Here the population is one
+[B, N, 9] array and evaluation is a pure jittable function whose output
+feeds selection directly; `chunk` bounds peak image memory by mapping the
+render over population slices (the reference's `chunk` kwarg analogue —
+fitness.py:44-47 — but via lax.map, not a host loop).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from . import codec, fitness, render
+
+
+class Objective(NamedTuple):
+    """Static description of the fitting objective (hashable; jit-friendly).
+
+    `mesh` + `pspec_imgs` opt the evaluator into SPMD partitioning: candidate
+    canvases get a with_sharding_constraint (typically P('pop','tile')), so
+    XLA shards the render over population and canvas rows and reduces the
+    fitness partial sums over the tile axis (SURVEY.md §2.4).
+    """
+
+    H: int
+    W: int
+    k_sigma: float = 3.0
+    boost_only: bool = False
+    boost_beta: float = 1.0
+    impl: str = "auto"
+    chunk: Optional[int] = None
+    bin_capacity: Optional[int] = None
+    background: Sequence[float] = (1.0, 1.0, 1.0)
+    mesh: Optional[jax.sharding.Mesh] = None
+    pspec_imgs: Optional[tuple] = None
+
+
+def render_genomes(obj: Objective, g_axes: jnp.ndarray) -> jnp.ndarray:
+    """Axes-angle genomes [B, N, 9] -> images [B, H, W, 3]."""
+    g9 = codec.genome_to_renderer(g_axes)
+    return render.render_splats(
+        g9,
+        obj.H,
+        obj.W,
+        k_sigma=obj.k_sigma,
+        background=tuple(obj.background),
+        impl=obj.impl,
+        bin_capacity=obj.bin_capacity,
+    )
+
+
+def evaluate(
+    obj: Objective,
+    g_axes: jnp.ndarray,
+    target: jnp.ndarray,
+    weight_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Axes-angle genomes [B, N, 9] -> fitness [B] (lower is better).
+
+    Images never leave the device; with obj.chunk set, at most
+    chunk*H*W*3 floats of canvas are live at once.
+    """
+    if g_axes.ndim == 2:
+        g_axes = g_axes[None]
+    B = g_axes.shape[0]
+
+    def eval_batch(g):
+        imgs = render_genomes(obj, g)
+        if obj.mesh is not None and obj.pspec_imgs is not None:
+            sharding = jax.sharding.NamedSharding(
+                obj.mesh, jax.sharding.PartitionSpec(*obj.pspec_imgs)
+            )
+            imgs = jax.lax.with_sharding_constraint(imgs, sharding)
+        return fitness.fitness_from_images(
+            imgs,
+            target,
+            weight_mask=weight_mask,
+            boost_only=obj.boost_only,
+            boost_beta=obj.boost_beta,
+        )
+
+    if obj.chunk is None or obj.chunk >= B or B % obj.chunk != 0:
+        return eval_batch(g_axes)
+
+    g_chunks = g_axes.reshape(B // obj.chunk, obj.chunk, *g_axes.shape[1:])
+    fits = jax.lax.map(eval_batch, g_chunks)
+    return fits.reshape(B)

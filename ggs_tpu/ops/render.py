@@ -1,0 +1,68 @@
+"""Renderer front door: one call, multiple backends.
+
+`render_splats(g9, H, W, ...)` is the TPU-native replacement for the
+reference's `render_splats_rgb_triton` (modules/render.py:203-252) —
+same contract ([B, N, 9] or [N, 9] renderer genomes -> [B, H, W, 3] f32 in
+[0, 1] over a white background), but jit/vmap/grad-compatible and
+device-agnostic:
+
+* impl="pallas": the tiled Pallas TPU kernel (MXU quadratic forms +
+  transmittance scan; ops/render_pallas.py).
+* impl="xla": the dense differentiable oracle (ops/oracle.py).
+* impl="auto": pallas on TPU, xla elsewhere.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from . import oracle
+
+
+def _default_impl() -> str:
+    if jax.default_backend() != "tpu":
+        return "xla"
+    try:  # pallas kernel present and importable
+        from . import render_pallas  # noqa: F401
+
+        return "pallas"
+    except Exception:
+        return "xla"
+
+
+def render_splats(
+    g9: jnp.ndarray,
+    H: int,
+    W: int,
+    *,
+    k_sigma: float = 3.0,
+    background: Sequence[float] = (1.0, 1.0, 1.0),
+    impl: str = "auto",
+    bin_capacity: Optional[int] = None,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    remat_chunk: int = 64,
+) -> jnp.ndarray:
+    """Render renderer-format genomes to images. See module docstring."""
+    if impl == "auto":
+        impl = _default_impl()
+    if impl == "xla":
+        return oracle.render_xla(
+            g9, H, W, k_sigma=k_sigma, background=tuple(background), remat_chunk=remat_chunk
+        )
+    if impl == "pallas":
+        from . import render_pallas
+
+        return render_pallas.render_pallas(
+            g9,
+            H,
+            W,
+            k_sigma=k_sigma,
+            background=tuple(background),
+            bin_capacity=bin_capacity,
+            tile_h=tile_h,
+            tile_w=tile_w,
+        )
+    raise ValueError(f"unknown renderer impl: {impl!r}")

@@ -1,0 +1,82 @@
+"""Image IO and frame snapshots.
+
+Mirrors the reference's PIL-based artifact surface: target loading
+(run_ggs.py:33-36), per-generation best-individual frame PNGs
+(modules/utils.py:49-69), and final full-resolution exports
+(run_ggs.py:64-77). All conversion to/from uint8 matches the reference's
+clamp->*255->astype path.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load an RGB image -> float32 [H, W, 3] in [0, 1] (run_ggs.py:33-36)."""
+    from PIL import Image
+
+    pil = Image.open(path).convert("RGB")
+    return np.asarray(pil, dtype=np.float32) / 255.0
+
+
+def save_image_u8(img01, path: str) -> None:
+    """Save a [H, W, 3] float image in [0,1] as PNG (run_ggs.py:69-77)."""
+    from PIL import Image
+
+    arr = np.asarray(jax.device_get(img01))
+    img8 = (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(img8).save(path)
+
+
+def ensure_hw(target: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Scale to [0,1] float and bilinear-resize to (H, W) if needed
+    (modules/algorithm.py:33-39, annealing.py:20-27)."""
+    t = jnp.asarray(target, dtype=jnp.float32)
+    t = jnp.where(jnp.max(t) > 1.5, t / 255.0, t)
+    if t.shape[0] != H or t.shape[1] != W:
+        t = jax.image.resize(t, (H, W, 3), method="bilinear")
+    return t
+
+
+def render_genome_to_u8(
+    ind_axes_angle: jnp.ndarray, H: int, W: int, k_sigma: float, impl: str = "auto"
+) -> np.ndarray:
+    """Axes-angle genome [N, 9] -> uint8 image (modules/utils.py:49-58)."""
+    from ..ops import codec, render
+
+    g9 = codec.genome_to_renderer(jnp.asarray(ind_axes_angle))
+    img = render.render_splats(g9[None], H, W, k_sigma=k_sigma, impl=impl)[0]
+    arr = np.asarray(jax.device_get(img))
+    return (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def save_frame_png(
+    gen: int,
+    ind_axes_angle: jnp.ndarray,
+    pad: int,
+    prefix: str,
+    video_dir: str,
+    H: int,
+    W: int,
+    k_sigma: float,
+    save_video: bool = True,
+    impl: str = "auto",
+) -> Optional[str]:
+    """Snapshot the best individual to video_dir/prefix_{gen:0pad}.png
+    (modules/utils.py:62-69)."""
+    if not save_video:
+        return None
+    from PIL import Image
+
+    img8 = render_genome_to_u8(ind_axes_angle, H, W, k_sigma, impl=impl)
+    os.makedirs(video_dir, exist_ok=True)
+    fname = f"{prefix}_{gen:0{pad}d}.png"
+    path = os.path.join(video_dir, fname)
+    Image.fromarray(img8).save(path)
+    return path

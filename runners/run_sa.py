@@ -1,0 +1,119 @@
+"""SA entry point (reference run_sags.py equivalent, with a real CLI).
+
+    python runners/run_sa.py --image imgs/reference.jpg --iterations 5000
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--image", default="imgs/reference.jpg")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--work-max-side", type=int, default=512)
+    p.add_argument("--n-splats", type=int, default=512)
+    p.add_argument("--iterations", type=int, default=500_000)
+    p.add_argument("--tries-per-iter", type=int, default=8)
+    p.add_argument("--t0", type=float, default=1e-3)
+    p.add_argument(
+        "--temp-schedule", default="cosine",
+        choices=["exp", "linear", "cosine", "log", "cauchy"],
+    )
+    p.add_argument("--sigma-schedule", default="cosine", choices=["cosine", "linear", "exp"])
+    p.add_argument("--mutpb", type=float, default=0.05)
+    p.add_argument(
+        "--proposal-mode", default="batched", choices=["batched", "sequential"],
+        help="batched: one render of all tries per iter (TPU-first); "
+        "sequential: exact reference proposal chaining",
+    )
+    p.add_argument("--k-sigma", type=float, default=3.0)
+    p.add_argument("--mask-strength", type=float, default=0.7)
+    p.add_argument("--boost-only", action="store_true")
+    p.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--no-video", action="store_true")
+    p.add_argument("--video-len", type=int, default=10)
+    p.add_argument("--fps", type=int, default=30)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", default="")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from ggs_tpu.config import GenomeConfig, MaskConfig, SAConfig
+    from ggs_tpu.models import sa
+    from ggs_tpu.ops import codec, render
+    from ggs_tpu.ops.objective import Objective
+    from ggs_tpu.utils import io as io_mod
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    video_dir = os.path.join(args.output_dir, "video_frames_sa")
+    save_video = not args.no_video
+    if save_video:
+        os.makedirs(video_dir, exist_ok=True)
+
+    target = io_mod.load_image(args.image)
+    H_out, W_out = target.shape[0], target.shape[1]
+    H, W = codec.choose_work_size(H_out, W_out, max_side=args.work_max_side)
+    print(f"target {H_out}x{W_out} -> work {H}x{W}")
+
+    obj = Objective(
+        H=H, W=W, k_sigma=args.k_sigma, boost_only=args.boost_only, impl=args.impl
+    )
+    sa_cfg = SAConfig(
+        iterations=args.iterations,
+        tries_per_iter=args.tries_per_iter,
+        t0=args.t0,
+        temp_schedule=args.temp_schedule,
+        sigma_schedule=args.sigma_schedule,
+        mutpb=args.mutpb,
+        proposal_mode=args.proposal_mode,
+    )
+    gnm = GenomeConfig(n_splats=args.n_splats)
+    mask_cfg = MaskConfig(strength=args.mask_strength, boost_only=args.boost_only)
+    frame_every = max(1, args.iterations // (args.fps * args.video_len))
+
+    best, best_fit, _ = sa.simulated_annealing(
+        target,
+        H,
+        W,
+        obj=obj,
+        sa=sa_cfg,
+        gnm=gnm,
+        mask_cfg=mask_cfg,
+        seed=args.seed,
+        log_every=args.log_every,
+        save_video=save_video,
+        frame_every=frame_every,
+        video_dir=video_dir,
+        prefix="sa",
+        loss_png_path=os.path.join(args.output_dir, "sa_loss.png"),
+        loss_csv_path=os.path.join(args.output_dir, "sa_loss.csv"),
+        loss_log_y=True,
+        checkpoint_path=os.path.join(args.output_dir, "sa_ckpt.npz"),
+        checkpoint_every=args.checkpoint_every,
+        resume_from=args.resume,
+    )
+    print("SA Best MSE:", best_fit)
+
+    import jax.numpy as jnp
+
+    sH, sW = H_out / float(H), W_out / float(W)
+    best_full = codec.scale_genome_pixels_anisotropic(jnp.asarray(best), sH=sH, sW=sW)
+    g9 = codec.genome_to_renderer(best_full)
+    final = render.render_splats(g9[None], H_out, W_out, k_sigma=args.k_sigma, impl=args.impl)[0]
+    out_path = os.path.join(args.output_dir, "sa_splats.png")
+    io_mod.save_image_u8(final, out_path)
+    print(f"Saved full-resolution SA result as {out_path}")
+
+
+if __name__ == "__main__":
+    main()

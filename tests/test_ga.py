@@ -1,0 +1,99 @@
+"""GA engine tests: seeded micro-runs with monotone best fitness and
+convergence on splat-representable targets (SURVEY.md §4 golden-behavior)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggs_tpu.config import GAConfig, GenomeConfig
+from ggs_tpu.models import ga, genome
+from ggs_tpu.ops import codec, objective, oracle
+
+H = W = 24
+GNM = GenomeConfig(n_splats=8, min_scale=1.0, max_scale=0.3)
+OBJ = objective.Objective(H=H, W=W, impl="xla")
+
+
+def _target(key):
+    """A splat-rendered target: trivially representable, GA must make progress."""
+    g = genome.new_population(key, 1, 8, H, W, GNM.min_scale, GNM.max_scale)[0]
+    return oracle.render_xla(codec.genome_to_renderer(g), H, W)
+
+
+def test_ga_best_monotone_and_improves(key):
+    target = _target(jax.random.PRNGKey(1007))
+    cfg = GAConfig(pop_size=8, generations=40, elite_k=2, cxpb=0.3, mutpb=0.2)
+    st = ga.init(key, OBJ, target, None, cfg, GNM)
+    init_best = float(st.best_fit)
+    run = ga.make_run_block(OBJ, cfg, GNM)
+    st, metrics = run(st, target, None, 40)
+    m = np.asarray(metrics)  # [40, 3] best/mean/median
+    # best curve is non-increasing
+    assert np.all(np.diff(m[:, 0]) <= 1e-9)
+    # meaningful improvement on an in-model target
+    assert m[-1, 0] < init_best * 0.9
+    # mean >= best always
+    assert np.all(m[:, 1] >= m[:, 0] - 1e-7)
+
+
+def test_ga_elites_preserved(key):
+    """Elite carry-over: pop best fitness never regresses between generations."""
+    target = _target(jax.random.PRNGKey(1003))
+    cfg = GAConfig(pop_size=8, generations=20, elite_k=2, cxpb=0.2, mutpb=0.3)
+    st = ga.init(key, OBJ, target, None, cfg, GNM)
+    sig_max = {"xy": 0.1, "alog": 0.5, "blog": 0.5, "theta": 0.3, "rgb": 25.0, "alpha": 25.0}
+    sig_min = {"xy": 0.01, "alog": 0.05, "blog": 0.05, "theta": 0.025, "rgb": 2.0, "alpha": 2.0}
+    prev_min = float(jnp.min(st.fits))
+    for _ in range(5):
+        st, _ = ga.step(st, OBJ, target, None, cfg, GNM, sig_max, sig_min)
+        cur_min = float(jnp.min(st.fits))
+        assert cur_min <= prev_min + 1e-7
+        prev_min = cur_min
+
+
+def test_ga_deterministic_given_seed(key):
+    target = _target(jax.random.PRNGKey(1005))
+    cfg = GAConfig(pop_size=4, generations=10, elite_k=1)
+    run = ga.make_run_block(OBJ, cfg, GNM)
+    st1 = ga.init(key, OBJ, target, None, cfg, GNM)
+    st1, m1 = run(st1, target, None, 10)
+    st2 = ga.init(key, OBJ, target, None, cfg, GNM)
+    st2, m2 = run(st2, target, None, 10)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(st1.pop), np.asarray(st2.pop))
+
+
+def test_ga_reeval_elites_mode(key):
+    target = _target(jax.random.PRNGKey(1006))
+    cfg = GAConfig(pop_size=4, generations=10, elite_k=1, reeval_elites=True)
+    st = ga.init(key, OBJ, target, None, cfg, GNM)
+    run = ga.make_run_block(OBJ, cfg, GNM)
+    st, m = run(st, target, None, 5)
+    assert np.all(np.isfinite(np.asarray(m)))
+
+
+def test_genetic_approx_driver(tmp_path, key):
+    """End-to-end host driver: curves, CSV, PNG artifacts."""
+    target = _target(key)
+    cfg = GAConfig(pop_size=4, generations=8, elite_k=1)
+    best, best_fit, curves = ga.genetic_approx(
+        target,
+        H,
+        W,
+        obj=OBJ,
+        ga=cfg,
+        gnm=GNM,
+        seed=0,
+        log_every=4,
+        loss_png_path=str(tmp_path / "loss.png"),
+        loss_csv_path=str(tmp_path / "loss.csv"),
+        save_video=True,
+        frame_every=4,
+        video_dir=str(tmp_path / "frames"),
+        progress=False,
+    )
+    assert best.shape == (8, 9)
+    assert len(curves["best"]) == 9  # init + 8 generations
+    assert (tmp_path / "loss.png").exists()
+    assert (tmp_path / "loss.csv").exists()
+    assert len(list((tmp_path / "frames").iterdir())) >= 1
+    assert best_fit <= curves["best"][0]

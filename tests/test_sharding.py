@@ -1,0 +1,92 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+sharded evaluation equals single-device evaluation; the full GA step runs
+SPMD over (pop, tile) with identical results; island migration invariants.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggs_tpu.config import GAConfig, GenomeConfig
+from ggs_tpu.models import ga, genome
+from ggs_tpu.ops import codec, objective, oracle
+from ggs_tpu.parallel import mesh as mesh_mod
+from ggs_tpu.parallel import shard
+
+from conftest import cpu_devices
+
+H = W = 16
+GNM = GenomeConfig(n_splats=8, min_scale=1.0, max_scale=0.3)
+OBJ = objective.Objective(H=H, W=W, impl="xla")
+
+
+def _target(key):
+    g = genome.new_population(key, 1, 8, H, W, GNM.min_scale, GNM.max_scale)[0]
+    return oracle.render_xla(codec.genome_to_renderer(g), H, W)
+
+
+def test_make_mesh_shapes():
+    m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
+    assert m.shape == {"pop": 4, "tile": 2}
+    m2 = mesh_mod.auto_mesh(8, cpu_devices(8))
+    assert m2.shape["pop"] * m2.shape["tile"] == 8
+
+
+def test_sharded_evaluate_matches_single_device(key):
+    m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
+    pop = genome.new_population(key, 8, 8, H, W, GNM.min_scale, GNM.max_scale)
+    target = _target(jax.random.PRNGKey(2001))
+    wm = jnp.linspace(0.3, 1.0, H)[:, None] * jnp.ones((H, W))
+
+    ref = objective.evaluate(OBJ, pop, target, wm)
+
+    obj_s = shard.sharded_objective(OBJ, m)
+    pop_s = jax.device_put(pop, mesh_mod.pop_sharding(m))
+    target_s = shard.place_target(target, m)
+    wm_s = shard.place_mask(wm, m)
+    got = jax.jit(lambda p, t, w: objective.evaluate(obj_s, p, t, w))(pop_s, target_s, wm_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_ga_step_matches_single_device(key):
+    """The same GA program partitioned over (pop=4, tile=2) must produce the
+    single-device trajectory (GSPMD partitioning, not an algorithm change)."""
+    m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
+    target = _target(jax.random.PRNGKey(2002))
+    cfg = GAConfig(pop_size=8, generations=10, elite_k=2)
+
+    st = ga.init(key, OBJ, target, None, cfg, GNM)
+    run = ga.make_run_block(OBJ, cfg, GNM)
+    st_ref, m_ref = run(st, target, None, 5)
+
+    obj_s = shard.sharded_objective(OBJ, m)
+    st_s = ga.init(key, obj_s, target, None, cfg, GNM)
+    st_s = shard.place_ga_state(st_s, m)
+    target_s = shard.place_target(target, m)
+    run_s = ga.make_run_block(obj_s, cfg, GNM)
+    st_got, m_got = run_s(st_s, target_s, None, 5)
+
+    np.testing.assert_allclose(np.asarray(m_got), np.asarray(m_ref), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_got.pop), np.asarray(st_ref.pop), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_migrate_ring_invariants(key):
+    m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
+    P_total, k = 16, 2
+    pop = genome.new_population(key, P_total, 4, H, W)
+    fits = jax.random.uniform(jax.random.fold_in(key, 1), (P_total,))
+    new_pop, new_fits = shard.migrate_ring(pop, fits, k, m)
+    assert new_pop.shape == pop.shape and new_fits.shape == fits.shape
+    # Each shard's best survives migration somewhere in the population
+    n_shards = 4
+    shard_sz = P_total // n_shards
+    old = np.asarray(pop).reshape(n_shards, shard_sz, 4, 9)
+    f = np.asarray(fits).reshape(n_shards, shard_sz)
+    flat_new = np.asarray(new_pop).reshape(-1, 36)
+    for s in range(n_shards):
+        best_row = old[s, f[s].argmin()].reshape(36)
+        assert (np.abs(flat_new - best_row[None]).sum(1) < 1e-6).any()
+    # Global best fitness can only improve or stay
+    assert float(new_fits.min()) <= float(fits.min()) + 1e-7
