@@ -154,6 +154,62 @@ def make_run_block(
     return run
 
 
+def make_memetic_run_block(
+    obj: Objective,
+    ga: GAConfig,
+    gnm: GenomeConfig,
+    grad_cfg,
+    refine_every: int,
+    refine_steps: int,
+    sig_max: Optional[MutSigma] = None,
+    sig_min: Optional[MutSigma] = None,
+):
+    """Hybrid GA+SGD memetic loop (BASELINE.md config): the plain GA
+    generation step, plus — every `refine_every` generations — a
+    Lamarckian Adam refinement of the elites through the differentiable
+    renderer. Refined elites replace themselves only when improved, so the
+    best-fitness curve stays monotone.
+    """
+    from . import gradient
+
+    sig_max_d = (sig_max or MutSigma.max_defaults()).__dict__
+    sig_min_d = (sig_min or MutSigma.min_defaults()).__dict__
+    E = max(1, ga.elite_k)
+
+    @partial(jax.jit, static_argnames=("num_gens",), donate_argnums=(0,))
+    def run(state: GAState, target, weight_mask, num_gens: int):
+        def refine(st: GAState) -> GAState:
+            el, ef = gradient.refine_elites(
+                st.pop[:E], st.fits[:E], target, weight_mask, obj, gnm,
+                grad_cfg, refine_steps,
+            )
+            pop = st.pop.at[:E].set(el)
+            fits = st.fits.at[:E].set(ef)
+            gb = jnp.argmin(fits)
+            improved = fits[gb] + 1e-10 < st.best_fit
+            return GAState(
+                pop=pop,
+                fits=fits,
+                best=jnp.where(improved, pop[gb], st.best),
+                best_fit=jnp.where(improved, fits[gb], st.best_fit),
+                no_improve=jnp.where(improved, 0, st.no_improve).astype(jnp.int32),
+                key=st.key,
+                gen=st.gen,
+            )
+
+        def body(st, _):
+            st, metrics = step(st, obj, target, weight_mask, ga, gnm, sig_max_d, sig_min_d)
+            st = jax.lax.cond(
+                st.gen % refine_every == 0, refine, lambda s: s, st
+            )
+            metrics = metrics.at[0].set(st.best_fit)
+            return st, metrics
+
+        return jax.lax.scan(body, state, None, length=num_gens)
+
+    return run
+
+
 def genetic_approx(
     target_img,
     H: int,

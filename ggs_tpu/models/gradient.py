@@ -1,0 +1,192 @@
+"""Gradient-descent splat fitting and the hybrid GA+SGD memetic loop.
+
+New capabilities with no reference analogue — the reference is wholly
+derivative-free (every module under @torch.no_grad, SURVEY.md intro). The
+differentiable renderer (ops/oracle.py, chunked-remat backward) makes the
+masked-MSE objective end-to-end differentiable in the axes-angle genome,
+enabling:
+
+* `fit_adam`: projected Adam on a [N, 9] genome (projection =
+  clamp_genome, keeping parameters in the same domain the evolutionary
+  operators maintain).
+* memetic refinement: inside the GA generation step, periodically refine
+  the elite genomes with a few vmapped Adam steps and reinsert them with
+  their improved fitness (Lamarckian learning) — the BASELINE.md "hybrid
+  GA+gradient memetic loop" config.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import GenomeConfig, GradConfig
+from ..ops import codec, fitness, oracle
+from ..ops.objective import Objective
+from . import genome as genome_mod
+
+
+def make_loss_fn(obj: Objective, gnm: GenomeConfig):
+    """Differentiable loss: axes-angle genomes [B, N, 9] -> mean fitness.
+
+    Always renders through the XLA oracle (the Pallas forward kernel is
+    exact but grad flows through the oracle's remat backward; a custom-vjp
+    Pallas backward can swap in transparently here).
+    """
+
+    def loss_fn(g_axes, target, weight_mask):
+        g9 = codec.genome_to_renderer(g_axes)
+        imgs = oracle.render_xla(
+            g9, obj.H, obj.W, k_sigma=obj.k_sigma, background=tuple(obj.background)
+        )
+        fits = fitness.fitness_from_images(
+            imgs, target, weight_mask=weight_mask,
+            boost_only=obj.boost_only, boost_beta=obj.boost_beta,
+        )
+        return jnp.mean(fits), fits
+
+    return loss_fn
+
+
+class GradState(NamedTuple):
+    g: jnp.ndarray  # [B, N, 9] axes-angle genomes
+    opt_state: optax.OptState
+    step: jnp.ndarray  # scalar i32
+
+
+def make_fit_step(obj: Objective, gnm: GenomeConfig, cfg: GradConfig):
+    """Build (optimizer, one projected-Adam step over a genome batch)."""
+    opt = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
+    loss_fn = make_loss_fn(obj, gnm)
+
+    def step(state: GradState, target, weight_mask) -> Tuple[GradState, jnp.ndarray]:
+        (loss, fits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g, target, weight_mask
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.g)
+        g = optax.apply_updates(state.g, updates)
+        # Projection: same domain clamps the evolutionary operators keep
+        # (xy [0,1], log-scale bounds, wrapped theta, rgba [0,255]).
+        g = codec.clamp_genome(g, obj.H, obj.W, gnm.min_scale, gnm.max_scale)
+        return GradState(g, opt_state, state.step + 1), fits
+
+    return opt, step
+
+
+def init_state(opt, g0: jnp.ndarray) -> GradState:
+    return GradState(g0, opt.init(g0), jnp.int32(0))
+
+
+def make_run_block(obj: Objective, gnm: GenomeConfig, cfg: GradConfig):
+    """Jitted (state, target, weight_mask, num_steps) -> (state, fits [num_steps, B])."""
+    opt, step = make_fit_step(obj, gnm, cfg)
+
+    @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
+    def run(state: GradState, target, weight_mask, num_steps: int):
+        def body(st, _):
+            return step(st, target, weight_mask)
+
+        return jax.lax.scan(body, state, None, length=num_steps)
+
+    return run
+
+
+def fit_adam(
+    target,
+    H: int,
+    W: int,
+    *,
+    obj: Optional[Objective] = None,
+    gnm: Optional[GenomeConfig] = None,
+    cfg: Optional[GradConfig] = None,
+    init_genomes: Optional[jnp.ndarray] = None,
+    weight_mask: Optional[jnp.ndarray] = None,
+    seed: int = 42,
+    log_every: int = 100,
+    progress: bool = True,
+):
+    """Host driver: Adam-fit `init_genomes` (or a fresh random individual)
+    to the target. Returns (best genome [N,9] np, best loss, loss curve)."""
+    import numpy as np
+
+    obj = obj if obj is not None else Objective(H=H, W=W, impl="xla")
+    gnm = gnm if gnm is not None else GenomeConfig()
+    cfg = cfg if cfg is not None else GradConfig()
+
+    key = jax.random.PRNGKey(seed)
+    if init_genomes is None:
+        init_genomes = genome_mod.new_population(
+            key, 1, gnm.n_splats, H, W, gnm.min_scale, gnm.max_scale
+        )
+    elif init_genomes.ndim == 2:
+        init_genomes = init_genomes[None]
+
+    target = jnp.asarray(target, dtype=jnp.float32)
+    opt, _ = make_fit_step(obj, gnm, cfg)
+    state = init_state(opt, jnp.asarray(init_genomes, dtype=jnp.float32))
+    run = make_run_block(obj, gnm, cfg)
+
+    pbar = None
+    if progress:
+        try:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(total=cfg.steps, desc="Adam steps")
+        except Exception:
+            pbar = None
+
+    curve = []
+    done = 0
+    try:
+        while done < cfg.steps:
+            block = min(log_every, cfg.steps - done)
+            state, fits = run(state, target, weight_mask, block)
+            curve.extend(np.asarray(jax.device_get(fits)).min(axis=1).tolist())
+            done += block
+            if pbar is not None:
+                pbar.update(block)
+                pbar.set_postfix(loss=f"{curve[-1]:.6f}")
+    except KeyboardInterrupt:
+        print("\n[Interrupted] Returning current state…", flush=True)
+    finally:
+        if pbar is not None:
+            pbar.close()
+
+    g = np.asarray(jax.device_get(state.g))
+    loss_fn = make_loss_fn(obj, gnm)
+    _, final_fits = loss_fn(state.g, target, weight_mask)
+    final_fits = np.asarray(jax.device_get(final_fits))
+    b = int(final_fits.argmin())
+    return g[b], float(final_fits[b]), curve
+
+
+def refine_elites(
+    elites: jnp.ndarray,
+    elite_fits: jnp.ndarray,
+    target,
+    weight_mask,
+    obj: Objective,
+    gnm: GenomeConfig,
+    cfg: GradConfig,
+    steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lamarckian refinement: `steps` Adam steps on the elite batch; an
+    elite is replaced only if refinement improved it. Returns
+    (elites, fits), both possibly improved."""
+    opt, step = make_fit_step(obj, gnm, cfg)
+    state = init_state(opt, elites)
+
+    def body(st, _):
+        return step(st, target, weight_mask)
+
+    state, _ = jax.lax.scan(body, state, None, length=steps)
+
+    loss_fn = make_loss_fn(obj, gnm)
+    _, new_fits = loss_fn(state.g, target, weight_mask)
+    better = new_fits < elite_fits
+    out_g = jnp.where(better[:, None, None], state.g, elites)
+    out_f = jnp.where(better, new_fits, elite_fits)
+    return out_g, out_f

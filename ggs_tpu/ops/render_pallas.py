@@ -1,0 +1,235 @@
+"""Pallas TPU rasterizer: tiled "over" compositing in VMEM.
+
+TPU-native replacement for the reference's Triton kernel + torch binning
+(modules/render.py:51-200), redesigned for XLA static shapes:
+
+* Binning (pure XLA, `_bin_splats`): each splat's k-sigma AABB is mapped to
+  a tile range; a [B, T, N] overlap matrix is compacted per tile into a
+  fixed-capacity, ascending-index splat list (ascending = painter order,
+  the same stable grouping the reference gets from its int64 sort key,
+  render.py:106-110). Capacity defaults to N, which provably never drops a
+  contributing splat (SURVEY.md §7 "binning under static shapes").
+
+* Kernel (`_render_tile_kernel`): grid (batch, tile). Each program owns one
+  (tile_h x tile_w) canvas block in VMEM — disjoint ownership, no atomics,
+  same race-freedom-by-construction as the reference (SURVEY.md §5). The
+  per-tile splat list and the [13, N] screen-space parameter table live in
+  SMEM; the hot loop walks the list sequentially (strict painter order,
+  identical blend expression to the oracle) with the quadratic-form and
+  blend math vectorized over the tile's pixels on the VPU.
+
+The canvas is rendered at tile-padded resolution and sliced, so H/W need
+not be tile-aligned. Output matches ops/oracle.py within float tolerance.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import codec
+
+# feats table rows (SMEM parameter layout)
+_F_CX, _F_CY, _F_SXX, _F_SXY, _F_SYY, _F_R, _F_G, _F_B, _F_A = range(9)
+_F_X0, _F_X1, _F_Y0, _F_Y1 = 9, 10, 11, 12
+_NFEAT = 13
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _splat_feats(p: codec.SplatScreen) -> jnp.ndarray:
+    """SplatScreen fields [B, N] -> feats [B, 13, N] float32."""
+    return jnp.stack(
+        [
+            p.cx, p.cy, p.sxx, p.sxy, p.syy,
+            p.rc, p.gc, p.bc, p.a,
+            p.x0.astype(jnp.float32), p.x1.astype(jnp.float32),
+            p.y0.astype(jnp.float32), p.y1.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _bin_splats(
+    p: codec.SplatScreen, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """AABBs [B, N] -> (bin_idx [B, T, cap] int32 ascending, cnt [B, T] int32).
+
+    Tile t covers splat s iff their rectangles overlap (the reference's
+    per-splat tile-range expansion, render.py:59-66, inverted to a
+    tile-major test so shapes stay static). Lists are index-sorted, padded
+    with N (a sentinel the kernel never reads past cnt).
+    """
+    B, N = p.x0.shape
+    tx0 = p.x0 // tile_w
+    tx1 = p.x1 // tile_w
+    ty0 = p.y0 // tile_h
+    ty1 = p.y1 // tile_h
+
+    T = n_ty * n_tx
+    t_ids = jnp.arange(T, dtype=jnp.int32)
+    t_x = (t_ids % n_tx)[None, :, None]  # [1, T, 1]
+    t_y = (t_ids // n_tx)[None, :, None]
+
+    ov = (
+        (tx0[:, None, :] <= t_x)
+        & (tx1[:, None, :] >= t_x)
+        & (ty0[:, None, :] <= t_y)
+        & (ty1[:, None, :] >= t_y)
+    )  # [B, T, N]
+    order = jnp.where(ov, jnp.arange(N, dtype=jnp.int32)[None, None, :], jnp.int32(N))
+    bin_idx = jax.lax.sort(order, dimension=-1)[..., :cap]
+    cnt = jnp.minimum(jnp.sum(ov, axis=-1, dtype=jnp.int32), cap)
+    return bin_idx, cnt
+
+
+def _render_tile_kernel(
+    cnt_ref,  # (1, 1, 1, 1) SMEM int32
+    idx_ref,  # (1, 1, 1, cap) SMEM int32
+    feats_ref,  # (1, 13, N) SMEM f32
+    out_ref,  # (1, 3, tile_h, tile_w) VMEM f32
+    *,
+    n_tx: int,
+    tile_h: int,
+    tile_w: int,
+    background: Tuple[float, float, float],
+):
+    t = pl.program_id(1)
+    tx0 = (t % n_tx) * tile_w
+    ty0 = (t // n_tx) * tile_h
+
+    xi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + tx0
+    yi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + ty0
+    xf = xi.astype(jnp.float32)
+    yf = yi.astype(jnp.float32)
+
+    cnt = cnt_ref[0, 0, 0, 0]
+
+    def body(k, canvas):
+        cr, cg, cb = canvas
+        s = idx_ref[0, 0, 0, k]
+        cx = feats_ref[0, _F_CX, s]
+        cy = feats_ref[0, _F_CY, s]
+        sxx = feats_ref[0, _F_SXX, s]
+        sxy = feats_ref[0, _F_SXY, s]
+        syy = feats_ref[0, _F_SYY, s]
+        rc = feats_ref[0, _F_R, s]
+        gc = feats_ref[0, _F_G, s]
+        bc = feats_ref[0, _F_B, s]
+        a = feats_ref[0, _F_A, s]
+        x0 = feats_ref[0, _F_X0, s]
+        x1 = feats_ref[0, _F_X1, s]
+        y0 = feats_ref[0, _F_Y0, s]
+        y1 = feats_ref[0, _F_Y1, s]
+
+        qx = xf - cx
+        qy = yf - cy
+        quad = sxx * (qx * qx) + 2.0 * sxy * (qx * qy) + syy * (qy * qy)
+        f = jnp.exp(-0.5 * quad) * a
+        m = (xf >= x0) & (xf <= x1) & (yf >= y0) & (yf <= y1)
+        f = jnp.where(m, f, 0.0)
+
+        one_m_f = 1.0 - f
+        return (
+            one_m_f * cr + f * rc,
+            one_m_f * cg + f * gc,
+            one_m_f * cb + f * bc,
+        )
+
+    bg = background
+    init = (
+        jnp.full((tile_h, tile_w), bg[0], jnp.float32),
+        jnp.full((tile_h, tile_w), bg[1], jnp.float32),
+        jnp.full((tile_h, tile_w), bg[2], jnp.float32),
+    )
+    cr, cg, cb = jax.lax.fori_loop(0, cnt, body, init)
+    out_ref[0, 0] = jnp.clip(cr, 0.0, 1.0)
+    out_ref[0, 1] = jnp.clip(cg, 0.0, 1.0)
+    out_ref[0, 2] = jnp.clip(cb, 0.0, 1.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "k_sigma", "background", "bin_capacity", "tile_h", "tile_w", "interpret",
+    ),
+)
+def render_pallas(
+    g9: jnp.ndarray,
+    H: int,
+    W: int,
+    k_sigma: float = 3.0,
+    background: Sequence[float] = (1.0, 1.0, 1.0),
+    bin_capacity: Optional[int] = None,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Render renderer-format genomes [B, N, 9] (or [N, 9]) -> [B, H, W, 3].
+
+    Same contract as ops/oracle.render_xla; bin_capacity < N trades
+    exactness in overloaded tiles for binning memory (default N = lossless).
+    """
+    squeeze = g9.ndim == 2
+    if squeeze:
+        g9 = g9[None]
+    B, N, C = g9.shape
+    assert C >= codec.GENE_DIM
+    g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
+
+    n_tx = _cdiv(W, tile_w)
+    n_ty = _cdiv(H, tile_h)
+    T = n_tx * n_ty
+    cap = N if bin_capacity is None else min(bin_capacity, N)
+
+    p = codec.preprocess(g9, H, W, k_sigma)
+    feats = _splat_feats(p)  # [B, 13, N]
+    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _render_tile_kernel,
+            n_tx=n_tx,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            background=tuple(float(c) for c in background),
+        ),
+        grid=(B, T),
+        in_specs=[
+            # TPU blocks: last two dims must equal the array's (or be 8/128
+            # aligned) — scalar/list inputs carry trailing singleton dims.
+            pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, cap), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NFEAT, N), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, tile_h, tile_w),
+            lambda b, t: (b, 0, t // n_tx, t % n_tx),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 3, n_ty * tile_h, n_tx * tile_w), jnp.float32),
+        interpret=interpret,
+    )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats)
+
+    img = jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1))
+    return img[0] if squeeze else img
+
+
+def max_bin_count(
+    g9: jnp.ndarray, H: int, W: int, k_sigma: float = 3.0, tile_h: int = 16, tile_w: int = 128
+) -> jnp.ndarray:
+    """Diagnostic: the largest per-tile splat count for these genomes — the
+    minimum lossless bin_capacity."""
+    if g9.ndim == 2:
+        g9 = g9[None]
+    p = codec.preprocess(g9.astype(jnp.float32), H, W, k_sigma)
+    n_tx = _cdiv(W, tile_w)
+    n_ty = _cdiv(H, tile_h)
+    _, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, g9.shape[1])
+    return jnp.max(cnt)

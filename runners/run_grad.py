@@ -1,0 +1,89 @@
+"""Gradient-descent fitting entry point (new capability — the reference is
+derivative-free; this uses the differentiable renderer + projected Adam).
+
+    python runners/run_grad.py --image imgs/reference.jpg --steps 2000
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--image", default="imgs/reference.jpg")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--work-max-side", type=int, default=512)
+    p.add_argument("--n-splats", type=int, default=2000)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--k-sigma", type=float, default=3.0)
+    p.add_argument("--mask-strength", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--init-from", default="", help="checkpoint/.npy genome to warm-start from")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ggs_tpu.config import GenomeConfig, GradConfig, MaskConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops import codec, mask as mask_mod, render
+    from ggs_tpu.ops.objective import Objective
+    from ggs_tpu.utils import curves as curves_mod
+    from ggs_tpu.utils import io as io_mod
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    target = io_mod.load_image(args.image)
+    H_out, W_out = target.shape[0], target.shape[1]
+    H, W = codec.choose_work_size(H_out, W_out, max_side=args.work_max_side)
+    print(f"target {H_out}x{W_out} -> work {H}x{W}")
+
+    obj = Objective(H=H, W=W, k_sigma=args.k_sigma, impl="xla")
+    gnm = GenomeConfig(n_splats=args.n_splats)
+    cfg = GradConfig(steps=args.steps, lr=args.lr)
+    mask_cfg = MaskConfig(strength=args.mask_strength)
+
+    t = io_mod.ensure_hw(jnp.asarray(target), H, W)
+    wm = mask_mod.compute_importance_mask(
+        t, H, W, edge_scales=tuple(mask_cfg.edge_scales), w_edge=mask_cfg.w_edge,
+        w_var=mask_cfg.w_var, gamma=mask_cfg.gamma, floor=mask_cfg.floor,
+        smooth=mask_cfg.smooth, strength=mask_cfg.strength,
+    )
+
+    init = None
+    if args.init_from:
+        init = jnp.asarray(np.load(args.init_from))
+
+    best, best_loss, curve = gradient.fit_adam(
+        t, H, W, obj=obj, gnm=gnm, cfg=cfg, init_genomes=init,
+        weight_mask=wm, seed=args.seed, log_every=args.log_every,
+    )
+    print("Final loss:", best_loss)
+
+    curves_mod.save_loss_curve_png(
+        {"loss": curve}, os.path.join(args.output_dir, "grad_loss.png"),
+        title="Adam fitting", xlabel="Step", ylabel="MSE", log_y=True,
+    )
+    curves_mod.save_curves_csv({"loss": curve}, os.path.join(args.output_dir, "grad_loss.csv"))
+    np.save(os.path.join(args.output_dir, "grad_genome.npy"), best)
+
+    sH, sW = H_out / float(H), W_out / float(W)
+    best_full = codec.scale_genome_pixels_anisotropic(jnp.asarray(best), sH=sH, sW=sW)
+    g9 = codec.genome_to_renderer(best_full)
+    final = render.render_splats(g9[None], H_out, W_out, k_sigma=args.k_sigma)[0]
+    out_path = os.path.join(args.output_dir, "grad_splats.png")
+    io_mod.save_image_u8(final, out_path)
+    print(f"Saved full-resolution gradient-fit result as {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Pallas kernel vs oracle (interpret mode on CPU; the same kernel runs
+compiled on TPU where it is bit-exact vs the oracle — verified on-chip)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggs_tpu.models import genome
+from ggs_tpu.ops import codec, oracle
+from ggs_tpu.ops.render_pallas import max_bin_count, render_pallas
+
+
+def _genomes(key, B, N, H, W, max_scale=0.3):
+    g = genome.new_population(key, B, N, H, W, min_scale=1.0, max_scale=max_scale)
+    return codec.genome_to_renderer(g)
+
+
+@pytest.mark.parametrize(
+    "H,W,tile_h,tile_w",
+    [
+        (32, 128, 16, 128),  # exact tiling
+        (40, 200, 16, 128),  # ragged edges
+        (48, 64, 8, 128),  # canvas narrower than one tile
+    ],
+)
+def test_pallas_matches_oracle(key, H, W, tile_h, tile_w):
+    g9 = _genomes(key, 3, 16, H, W)
+    ref = oracle.render_xla(g9, H, W)
+    got = render_pallas(g9, H, W, tile_h=tile_h, tile_w=tile_w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_single_genome(key):
+    g9 = _genomes(key, 1, 8, 32, 128)[0]
+    img = render_pallas(g9, 32, 128, interpret=True)
+    assert img.shape == (32, 128, 3)
+
+
+def test_pallas_background(key):
+    g9 = _genomes(key, 1, 4, 16, 128)
+    g9 = g9.at[..., 8].set(0.0)
+    img = render_pallas(g9, 16, 128, background=(0.2, 0.4, 0.6), interpret=True)
+    np.testing.assert_allclose(np.asarray(img[..., 0]), 0.2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(img[..., 2]), 0.6, atol=1e-6)
+
+
+def test_pallas_painter_order(key):
+    """Later index paints on top, exactly as in the oracle."""
+    H, W = 32, 128
+    mk = lambda color: [0.5, 0.5, np.log(8.0), np.log(8.0), 0.0, *color, 255.0]
+    g9 = codec.genome_to_renderer(
+        jnp.array([mk((255.0, 0.0, 0.0)), mk((0.0, 0.0, 255.0))])
+    )
+    img = render_pallas(g9[None], H, W, interpret=True)[0]
+    c = np.asarray(img)[H // 2, W // 2]
+    assert c[2] > c[0]
+
+
+def test_bin_capacity_lossless_default(key):
+    """cap = N never drops splats: equal to oracle even with huge splats
+    saturating every tile."""
+    H, W = 32, 128
+    g9 = _genomes(key, 2, 12, H, W, max_scale=1.0)  # large splats, heavy overlap
+    ref = oracle.render_xla(g9, H, W)
+    got = render_pallas(g9, H, W, interpret=True)  # bin_capacity=None -> N
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_max_bin_count_diagnostic(key):
+    H, W = 32, 128
+    g9 = _genomes(key, 2, 12, H, W, max_scale=1.0)
+    mc = int(max_bin_count(g9, H, W))
+    assert 1 <= mc <= 12
+    # rendering with cap >= max count must equal lossless rendering
+    full = render_pallas(g9, H, W, interpret=True)
+    capped = render_pallas(g9, H, W, bin_capacity=mc, interpret=True)
+    np.testing.assert_allclose(np.asarray(capped), np.asarray(full), atol=1e-6)
+
+
+def test_render_dispatcher_pallas(key):
+    from ggs_tpu.ops import render
+
+    g9 = _genomes(key, 2, 8, 32, 128)
+    # dispatcher route (interpret not exposed there; run via direct call on CPU
+    # interpret and compare against dispatcher xla)
+    a = render.render_splats(g9, 32, 128, impl="xla")
+    b = render_pallas(g9, 32, 128, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
