@@ -32,16 +32,30 @@ from . import genome as genome_mod
 def make_loss_fn(obj: Objective, gnm: GenomeConfig):
     """Differentiable loss: axes-angle genomes [B, N, 9] -> mean fitness.
 
-    Always renders through the XLA oracle (the Pallas forward kernel is
-    exact but grad flows through the oracle's remat backward; a custom-vjp
-    Pallas backward can swap in transparently here).
+    impl="pallas" (or "auto" on TPU) renders with the custom-VJP Pallas
+    kernel pair (ops/render_grad.py: analytic division-free backward);
+    otherwise the XLA oracle's remat autodiff. Both produce matching
+    gradients (tests/test_render_grad.py).
     """
+    impl = obj.impl
+    if impl == "auto":
+        from ..ops import render as render_mod
+
+        impl = render_mod._default_impl()
 
     def loss_fn(g_axes, target, weight_mask):
         g9 = codec.genome_to_renderer(g_axes)
-        imgs = oracle.render_xla(
-            g9, obj.H, obj.W, k_sigma=obj.k_sigma, background=tuple(obj.background)
-        )
+        if impl == "pallas":
+            from ..ops.render_grad import render_pallas_diff
+
+            imgs = render_pallas_diff(
+                g9, obj.H, obj.W, k_sigma=obj.k_sigma,
+                background=tuple(obj.background), bin_capacity=obj.bin_capacity,
+            )
+        else:
+            imgs = oracle.render_xla(
+                g9, obj.H, obj.W, k_sigma=obj.k_sigma, background=tuple(obj.background)
+            )
         fits = fitness.fitness_from_images(
             imgs, target, weight_mask=weight_mask,
             boost_only=obj.boost_only, boost_beta=obj.boost_beta,

@@ -38,6 +38,9 @@ class Objective(NamedTuple):
     background: Sequence[float] = (1.0, 1.0, 1.0)
     mesh: Optional[jax.sharding.Mesh] = None
     pspec_imgs: Optional[tuple] = None
+    # "mse" (reference semantics) | "ssim" | "mix" (fused MSE/SSIM energy)
+    metric: str = "mse"
+    ssim_weight: float = 0.5
 
 
 def render_genomes(obj: Objective, g_axes: jnp.ndarray) -> jnp.ndarray:
@@ -69,7 +72,40 @@ def evaluate(
         g_axes = g_axes[None]
     B = g_axes.shape[0]
 
+    impl = obj.impl
+    if impl == "auto":
+        impl = render._default_impl()
+
     def eval_batch(g):
+        if obj.metric != "mse":
+            from . import ssim as ssim_mod
+
+            imgs = render_genomes(obj, g)
+            w = 1.0 if obj.metric == "ssim" else obj.ssim_weight
+            return ssim_mod.mixed_energy(
+                imgs, target, weight_mask=weight_mask, ssim_weight=w,
+                boost_only=obj.boost_only, boost_beta=obj.boost_beta,
+            )
+        if impl == "pallas" and obj.mesh is None:
+            # Fused on-chip fitness: candidate canvases never reach HBM
+            # (BASELINE.md). The sharded (mesh) path keeps the image route
+            # so GSPMD can partition it; a shard_map'd fused path can slot
+            # in here later.
+            from . import render_pallas
+
+            g9 = codec.genome_to_renderer(g)
+            return render_pallas.fitness_pallas(
+                g9,
+                target,
+                weight_mask,
+                obj.H,
+                obj.W,
+                k_sigma=obj.k_sigma,
+                background=tuple(obj.background),
+                boost_only=obj.boost_only,
+                boost_beta=obj.boost_beta,
+                bin_capacity=obj.bin_capacity,
+            )
         imgs = render_genomes(obj, g)
         if obj.mesh is not None and obj.pspec_imgs is not None:
             sharding = jax.sharding.NamedSharding(

@@ -1,0 +1,353 @@
+"""Differentiable Pallas renderer: custom-VJP forward/backward kernel pair.
+
+The reference has no backward at all (every module is @torch.no_grad,
+SURVEY.md). This module gives the Pallas rasterizer an EXACT, analytic,
+division-free backward pass through the order-dependent "over" compositing
+(the hard part flagged in SURVEY.md §7):
+
+Forward (per pixel, ascending splat index i over the tile's bin list):
+    C_i = (1 - f_i) C_{i-1} + f_i c_i,   f_i = a_i e_i,
+    e_i = exp(-0.5 q_i) * [pixel in AABB_i]
+Closed-form pullbacks with T_i = prod_{j>i} (1 - f_j):
+    dL/df_i = sum_c g_c T_i (c_{i,c} - C_{i-1,c})
+    dL/dc_{i,c} = sum_px g_c T_i f_i
+    dL/da_i = sum_px dL/df_i * e_i ;  dL/dq_i = -0.5 f_i dL/df_i
+    dq/dcx = -(2 sxx qx + 2 sxy qy),  dq/dsxx = qx^2,  etc.
+
+Stability: some f_i can be exactly 1 (alpha = 255 at the center), so the
+3DGS-style division by (1 - f_i) is not available. Instead the backward
+kernel does a two-level rematerialization: a forward replay stores canvases
+at S-splat chunk boundaries in VMEM scratch; each chunk is then replayed
+forward (storing its e-planes and per-splat prefix canvases) and walked
+backward maintaining the suffix transmittance T multiplicatively — no
+divisions anywhere.
+
+Gradients accumulate per-splat in an SMEM output block that persists across
+the tile grid dimension (initialized via input_output_aliases with zeros),
+then chain through codec.preprocess / genome_to_renderer by ordinary JAX
+VJP — so `jax.grad` through render_pallas_diff agrees with the oracle's
+autodiff.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import codec
+from .render_pallas import (
+    _NFEAT,
+    _bin_splats,
+    _cdiv,
+    _render_tile_kernel,
+    _splat_feats,
+)
+
+_NGRAD = 9  # dcx, dcy, dsxx, dsxy, dsyy, drc, dgc, dbc, da
+_CHUNK = 32  # backward remat chunk (splats per stored boundary canvas)
+
+
+def _bwd_tile_kernel(
+    cnt_ref,  # (1, 1, 1, 1) SMEM i32
+    idx_ref,  # (1, 1, 1, cap) SMEM i32
+    feats_ref,  # (1, 13, N1) SMEM f32 (row N = sentinel zeros)
+    gimg_ref,  # (1, 3, tile_h, tile_w) VMEM f32 cotangent
+    grad_ref,  # (1, 9, N1) SMEM f32 accumulator (persists across tiles)
+    cbound_ref,  # VMEM scratch (MAXC+1, 3, tile_h, tile_w)
+    ebuf_ref,  # VMEM scratch (S, tile_h, tile_w): masked exp planes
+    cprev_ref,  # VMEM scratch (S, 3, tile_h, tile_w): per-splat prefix canvases
+    *,
+    n_tx: int,
+    tile_h: int,
+    tile_w: int,
+    background: Tuple[float, float, float],
+    cap: int,
+    chunk: int,
+):
+    t = pl.program_id(1)
+    n1 = grad_ref.shape[2]
+
+    # The accumulator block persists across the tile grid dimension (its
+    # index map is constant in t); zero it at the first tile of each batch.
+    @pl.when(t == 0)
+    def _():
+        def z(i, _):
+            for r in range(_NGRAD):
+                grad_ref[0, r, i] = 0.0
+            return 0
+
+        jax.lax.fori_loop(0, n1, z, 0)
+
+    tx0 = (t % n_tx) * tile_w
+    ty0 = (t // n_tx) * tile_h
+    xf = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + tx0).astype(jnp.float32)
+    yf = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + ty0).astype(jnp.float32)
+
+    cnt = cnt_ref[0, 0, 0, 0]
+    n_chunks = pl.cdiv(cnt, chunk)
+    S = chunk
+
+    def load_splat(k):
+        s = idx_ref[0, 0, 0, k]
+        return s, (
+            feats_ref[0, 0, s], feats_ref[0, 1, s], feats_ref[0, 2, s],
+            feats_ref[0, 3, s], feats_ref[0, 4, s], feats_ref[0, 5, s],
+            feats_ref[0, 6, s], feats_ref[0, 7, s], feats_ref[0, 8, s],
+            feats_ref[0, 9, s], feats_ref[0, 10, s], feats_ref[0, 11, s],
+            feats_ref[0, 12, s],
+        )
+
+    def masked_exp(cx, cy, sxx, sxy, syy, x0, x1, y0, y1):
+        qx = xf - cx
+        qy = yf - cy
+        quad = sxx * (qx * qx) + 2.0 * sxy * (qx * qy) + syy * (qy * qy)
+        m = (xf >= x0) & (xf <= x1) & (yf >= y0) & (yf <= y1)
+        return jnp.where(m, jnp.exp(-0.5 * quad), 0.0), qx, qy
+
+    # ---- Pass A: forward replay, storing chunk-boundary canvases ----
+    bg = background
+    cbound_ref[0, 0] = jnp.full((tile_h, tile_w), bg[0], jnp.float32)
+    cbound_ref[0, 1] = jnp.full((tile_h, tile_w), bg[1], jnp.float32)
+    cbound_ref[0, 2] = jnp.full((tile_h, tile_w), bg[2], jnp.float32)
+
+    def chunk_fwd(c, canvas):
+        cr, cg, cb = canvas
+
+        def body(j, cv):
+            cr, cg, cb = cv
+            k = c * S + j
+            _, (cx, cy, sxx, sxy, syy, rc, gc, bc, a, x0, x1, y0, y1) = load_splat(k)
+            e, _, _ = masked_exp(cx, cy, sxx, sxy, syy, x0, x1, y0, y1)
+            f = a * e
+            omf = 1.0 - f
+            return (omf * cr + f * rc, omf * cg + f * gc, omf * cb + f * bc)
+
+        cr, cg, cb = jax.lax.fori_loop(0, S, body, (cr, cg, cb))
+        cbound_ref[c + 1, 0] = cr
+        cbound_ref[c + 1, 1] = cg
+        cbound_ref[c + 1, 2] = cb
+        return (cr, cg, cb)
+
+    jax.lax.fori_loop(0, n_chunks, chunk_fwd, (cbound_ref[0, 0], cbound_ref[0, 1], cbound_ref[0, 2]))
+
+    # ---- Pass B: reverse over chunks ----
+    g0 = gimg_ref[0, 0]
+    g1 = gimg_ref[0, 1]
+    g2 = gimg_ref[0, 2]
+
+    def chunk_bwd(ci, T_above):
+        c = n_chunks - 1 - ci
+
+        # B1: replay this chunk, storing e-planes and prefix canvases
+        def replay(j, cv):
+            cr, cg, cb = cv
+            cprev_ref[j, 0] = cr
+            cprev_ref[j, 1] = cg
+            cprev_ref[j, 2] = cb
+            k = c * S + j
+            _, (cx, cy, sxx, sxy, syy, rc, gc, bc, a, x0, x1, y0, y1) = load_splat(k)
+            e, _, _ = masked_exp(cx, cy, sxx, sxy, syy, x0, x1, y0, y1)
+            ebuf_ref[j] = e
+            f = a * e
+            omf = 1.0 - f
+            return (omf * cr + f * rc, omf * cg + f * gc, omf * cb + f * bc)
+
+        jax.lax.fori_loop(
+            0, S, replay, (cbound_ref[c, 0], cbound_ref[c, 1], cbound_ref[c, 2])
+        )
+
+        # B2: walk the chunk backward, maintaining suffix transmittance
+        def bwd(jj, T):
+            j = S - 1 - jj
+            k = c * S + j
+            s, (cx, cy, sxx, sxy, syy, rc, gc, bc, a, x0, x1, y0, y1) = load_splat(k)
+            e = ebuf_ref[j]
+            _, qx, qy = masked_exp(cx, cy, sxx, sxy, syy, x0, x1, y0, y1)
+            f = a * e
+
+            gT0 = g0 * T
+            gT1 = g1 * T
+            gT2 = g2 * T
+            dLdf = (
+                gT0 * (rc - cprev_ref[j, 0])
+                + gT1 * (gc - cprev_ref[j, 1])
+                + gT2 * (bc - cprev_ref[j, 2])
+            )
+            d_rc = jnp.sum(gT0 * f)
+            d_gc = jnp.sum(gT1 * f)
+            d_bc = jnp.sum(gT2 * f)
+            d_a = jnp.sum(dLdf * e)
+            dLdq = -0.5 * f * dLdf
+            d_cx = jnp.sum(dLdq * (-2.0) * (sxx * qx + sxy * qy))
+            d_cy = jnp.sum(dLdq * (-2.0) * (syy * qy + sxy * qx))
+            d_sxx = jnp.sum(dLdq * qx * qx)
+            d_sxy = jnp.sum(dLdq * 2.0 * qx * qy)
+            d_syy = jnp.sum(dLdq * qy * qy)
+
+            grad_ref[0, 0, s] += d_cx
+            grad_ref[0, 1, s] += d_cy
+            grad_ref[0, 2, s] += d_sxx
+            grad_ref[0, 3, s] += d_sxy
+            grad_ref[0, 4, s] += d_syy
+            grad_ref[0, 5, s] += d_rc
+            grad_ref[0, 6, s] += d_gc
+            grad_ref[0, 7, s] += d_bc
+            grad_ref[0, 8, s] += d_a
+            return T * (1.0 - f)
+
+        return jax.lax.fori_loop(0, S, bwd, T_above)
+
+    jax.lax.fori_loop(0, n_chunks, chunk_bwd, jnp.ones((tile_h, tile_w), jnp.float32))
+
+
+@functools.lru_cache(maxsize=64)
+def _make_screen_render(
+    B: int,
+    N: int,
+    H: int,
+    W: int,
+    tile_h: int,
+    tile_w: int,
+    cap: int,
+    background: Tuple[float, float, float],
+    interpret: bool,
+):
+    """Build the custom-VJP screen-space renderer for one static config."""
+    n_tx = _cdiv(W, tile_w)
+    n_ty = _cdiv(H, tile_h)
+    T = n_tx * n_ty
+    Hp, Wp = n_ty * tile_h, n_tx * tile_w
+    N1 = N + 1
+    cap_pad = _cdiv(cap, _CHUNK) * _CHUNK
+    max_chunks = cap_pad // _CHUNK
+
+    def prep(arrs):
+        """13 float arrays [B, N] -> (feats [B,13,N1], bin_idx, cnt)."""
+        p = codec.SplatScreen(
+            cx=arrs[0], cy=arrs[1], sxx=arrs[2], sxy=arrs[3], syy=arrs[4],
+            rc=arrs[5], gc=arrs[6], bc=arrs[7], a=arrs[8],
+            x0=arrs[9].astype(jnp.int32), x1=arrs[10].astype(jnp.int32),
+            y0=arrs[11].astype(jnp.int32), y1=arrs[12].astype(jnp.int32),
+        )
+        feats = _splat_feats(p)  # [B, 13, N]
+        feats = jnp.concatenate([feats, jnp.zeros((B, _NFEAT, 1), jnp.float32)], axis=2)
+        bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+        if cap_pad > cap:
+            bin_idx = jnp.concatenate(
+                [bin_idx, jnp.full((B, T, cap_pad - cap), N, jnp.int32)], axis=-1
+            )
+        return feats, bin_idx, cnt
+
+    def fwd_only(feats, bin_idx, cnt):
+        return pl.pallas_call(
+            functools.partial(
+                _render_tile_kernel,
+                n_tx=n_tx, tile_h=tile_h, tile_w=tile_w, background=background,
+            ),
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, cap_pad), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _NFEAT, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 3, tile_h, tile_w),
+                lambda b, t: (b, 0, t // n_tx, t % n_tx),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, 3, Hp, Wp), jnp.float32),
+            interpret=interpret,
+        )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats)
+
+    def bwd_grads(feats, bin_idx, cnt, g_img):
+        grads = pl.pallas_call(
+            functools.partial(
+                _bwd_tile_kernel,
+                n_tx=n_tx, tile_h=tile_h, tile_w=tile_w, background=background,
+                cap=cap_pad, chunk=_CHUNK,
+            ),
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, cap_pad), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _NFEAT, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 3, tile_h, tile_w),
+                    lambda b, t: (b, 0, t // n_tx, t % n_tx),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, _NGRAD, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, _NGRAD, N1), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((max_chunks + 1, 3, tile_h, tile_w), jnp.float32),
+                pltpu.VMEM((_CHUNK, tile_h, tile_w), jnp.float32),
+                pltpu.VMEM((_CHUNK, 3, tile_h, tile_w), jnp.float32),
+            ],
+            interpret=interpret,
+        )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats, g_img)
+        return grads[:, :, :N]  # drop the sentinel row
+
+    @jax.custom_vjp
+    def screen_render(*arrs):
+        feats, bin_idx, cnt = prep(arrs)
+        return fwd_only(feats, bin_idx, cnt)
+
+    def screen_render_fwd(*arrs):
+        feats, bin_idx, cnt = prep(arrs)
+        return fwd_only(feats, bin_idx, cnt), (feats, bin_idx, cnt)
+
+    def screen_render_bwd(res, g_img):
+        feats, bin_idx, cnt = res
+        g = bwd_grads(feats, bin_idx, cnt, g_img)
+        zero = jnp.zeros((B, N), jnp.float32)
+        # (cx, cy, sxx, sxy, syy, rc, gc, bc, a) + zero grads for the
+        # integer-valued AABB floats (floor/ceil: zero derivative a.e.)
+        return tuple(g[:, i] for i in range(_NGRAD)) + (zero, zero, zero, zero)
+
+    screen_render.defvjp(screen_render_fwd, screen_render_bwd)
+    return screen_render
+
+
+def render_pallas_diff(
+    g9: jnp.ndarray,
+    H: int,
+    W: int,
+    k_sigma: float = 3.0,
+    background: Sequence[float] = (1.0, 1.0, 1.0),
+    bin_capacity: Optional[int] = None,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable Pallas render: [B, N, 9] (or [N, 9]) -> [B, H, W, 3].
+
+    Forward is the exact Pallas rasterizer; backward is the analytic
+    Pallas kernel above, chained through codec.preprocess by JAX VJP.
+    Grads match the XLA oracle's autodiff (see tests/test_render_grad.py).
+    """
+    squeeze = g9.ndim == 2
+    if squeeze:
+        g9 = g9[None]
+    B, N, C = g9.shape
+    g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
+    cap = N if bin_capacity is None else min(bin_capacity, N)
+
+    p = codec.preprocess(g9, H, W, k_sigma)
+    fn = _make_screen_render(
+        B, N, H, W, tile_h, tile_w, cap,
+        tuple(float(c) for c in background), interpret,
+    )
+    img_p = fn(
+        p.cx, p.cy, p.sxx, p.sxy, p.syy, p.rc, p.gc, p.bc, p.a,
+        p.x0.astype(jnp.float32), p.x1.astype(jnp.float32),
+        p.y0.astype(jnp.float32), p.y1.astype(jnp.float32),
+    )
+    img = jnp.transpose(img_p[:, :, :H, :W], (0, 2, 3, 1))
+    return img[0] if squeeze else img

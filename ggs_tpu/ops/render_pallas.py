@@ -89,17 +89,9 @@ def _bin_splats(
     return bin_idx, cnt
 
 
-def _render_tile_kernel(
-    cnt_ref,  # (1, 1, 1, 1) SMEM int32
-    idx_ref,  # (1, 1, 1, cap) SMEM int32
-    feats_ref,  # (1, 13, N) SMEM f32
-    out_ref,  # (1, 3, tile_h, tile_w) VMEM f32
-    *,
-    n_tx: int,
-    tile_h: int,
-    tile_w: int,
-    background: Tuple[float, float, float],
-):
+def _composite_tile(cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background):
+    """Shared hot loop: sequentially "over"-blend this tile's splat list
+    onto the background. Returns the clamped (r, g, b) planes."""
     t = pl.program_id(1)
     tx0 = (t % n_tx) * tile_w
     ty0 = (t // n_tx) * tile_h
@@ -149,9 +141,58 @@ def _render_tile_kernel(
         jnp.full((tile_h, tile_w), bg[2], jnp.float32),
     )
     cr, cg, cb = jax.lax.fori_loop(0, cnt, body, init)
-    out_ref[0, 0] = jnp.clip(cr, 0.0, 1.0)
-    out_ref[0, 1] = jnp.clip(cg, 0.0, 1.0)
-    out_ref[0, 2] = jnp.clip(cb, 0.0, 1.0)
+    return (
+        jnp.clip(cr, 0.0, 1.0),
+        jnp.clip(cg, 0.0, 1.0),
+        jnp.clip(cb, 0.0, 1.0),
+    )
+
+
+def _render_tile_kernel(
+    cnt_ref,  # (1, 1, 1, 1) SMEM int32
+    idx_ref,  # (1, 1, 1, cap) SMEM int32
+    feats_ref,  # (1, 13, N) SMEM f32
+    out_ref,  # (1, 3, tile_h, tile_w) VMEM f32
+    *,
+    n_tx: int,
+    tile_h: int,
+    tile_w: int,
+    background: Tuple[float, float, float],
+):
+    cr, cg, cb = _composite_tile(
+        cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background
+    )
+    out_ref[0, 0] = cr
+    out_ref[0, 1] = cg
+    out_ref[0, 2] = cb
+
+
+def _fitness_tile_kernel(
+    cnt_ref,  # (1, 1, 1, 1) SMEM int32
+    idx_ref,  # (1, 1, 1, cap) SMEM int32
+    feats_ref,  # (1, 13, N) SMEM f32
+    target_ref,  # (3, tile_h, tile_w) VMEM f32 (broadcast over batch)
+    weff_ref,  # (tile_h, tile_w) VMEM f32 (0 on canvas padding)
+    out_ref,  # (1, 1, 1, 1) VMEM f32: this tile's sum(dif^2 * w_eff)
+    *,
+    n_tx: int,
+    tile_h: int,
+    tile_w: int,
+    background: Tuple[float, float, float],
+):
+    """Fused render + masked-MSE partial: the candidate canvas never leaves
+    VMEM (BASELINE.md: on-chip fitness). All three scoring modes of
+    modules/fitness.py:18-31 reduce to sum(dif^2 * w_eff) / D with w_eff
+    and the scalar D precomputed by the caller."""
+    cr, cg, cb = _composite_tile(
+        cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background
+    )
+    w = weff_ref[:, :]
+    dr = cr - target_ref[0]
+    dg = cg - target_ref[1]
+    db = cb - target_ref[2]
+    acc = jnp.sum((dr * dr + dg * dg + db * db) * w)
+    out_ref[0, 0] = acc[None, None]  # VMEM stores need >= 2D values
 
 
 @functools.partial(
@@ -219,6 +260,101 @@ def render_pallas(
 
     img = jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1))
     return img[0] if squeeze else img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "k_sigma", "background", "boost_only", "boost_beta",
+        "bin_capacity", "tile_h", "tile_w", "interpret", "has_mask",
+    ),
+)
+def fitness_pallas(
+    g9: jnp.ndarray,
+    target: jnp.ndarray,
+    weight_mask: Optional[jnp.ndarray],
+    H: int,
+    W: int,
+    k_sigma: float = 3.0,
+    background: Sequence[float] = (1.0, 1.0, 1.0),
+    boost_only: bool = False,
+    boost_beta: float = 1.0,
+    bin_capacity: Optional[int] = None,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    interpret: bool = False,
+    has_mask: Optional[bool] = None,  # derived; present for jit caching only
+) -> jnp.ndarray:
+    """Fused render+fitness: renderer genomes [B, N, 9] -> fitness [B].
+
+    Candidate canvases live only in VMEM tiles; HBM sees one partial sum
+    per (candidate, tile). Matches ops/fitness.fitness_from_images on the
+    rendered images for all three scoring modes.
+    """
+    if g9.ndim == 2:
+        g9 = g9[None]
+    B, N, C = g9.shape
+    g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
+
+    n_tx = _cdiv(W, tile_w)
+    n_ty = _cdiv(H, tile_h)
+    T = n_tx * n_ty
+    Hp, Wp = n_ty * tile_h, n_tx * tile_w
+    cap = N if bin_capacity is None else min(bin_capacity, N)
+
+    p = codec.preprocess(g9, H, W, k_sigma)
+    feats = _splat_feats(p)
+    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+
+    target = target.astype(jnp.float32)
+    # Effective per-pixel weight + scalar denominator per scoring mode
+    # (modules/fitness.py:18-31); canvas padding gets w_eff = 0.
+    if weight_mask is None:
+        w_eff = jnp.ones((H, W), jnp.float32)
+        denom = jnp.float32(H * W * 3)
+    elif boost_only:
+        w_eff = 1.0 + boost_beta * jnp.clip(weight_mask.astype(jnp.float32), 0.0, 1.0)
+        denom = (jnp.mean(w_eff) + 1e-12) * (H * W * 3)
+    else:
+        w_eff = weight_mask.astype(jnp.float32)
+        denom = jnp.sum(w_eff) + 1e-12
+
+    target_p = jnp.zeros((3, Hp, Wp), jnp.float32)
+    target_p = target_p.at[:, :H, :W].set(jnp.transpose(target, (2, 0, 1)))
+    w_p = jnp.zeros((Hp, Wp), jnp.float32).at[:H, :W].set(w_eff)
+
+    partials = pl.pallas_call(
+        functools.partial(
+            _fitness_tile_kernel,
+            n_tx=n_tx,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            background=tuple(float(c) for c in background),
+        ),
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, cap), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NFEAT, N), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (3, tile_h, tile_w),
+                lambda b, t: (0, t // n_tx, t % n_tx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_h, tile_w),
+                lambda b, t: (t // n_tx, t % n_tx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, 1, 1), jnp.float32),
+        interpret=interpret,
+    )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats, target_p, w_p)
+
+    return jnp.sum(partials[:, :, 0, 0], axis=1) / denom
 
 
 def max_bin_count(

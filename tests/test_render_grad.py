@@ -1,0 +1,96 @@
+"""Differentiable Pallas renderer: forward parity + backward exactness
+vs the oracle's autodiff and vs finite differences (BASELINE.md)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggs_tpu.models import genome
+from ggs_tpu.ops import codec, oracle
+from ggs_tpu.ops.render_grad import render_pallas_diff
+
+H, W = 32, 128
+
+
+def _g9(key, B=2, N=40, max_scale=0.3):
+    g = genome.new_population(key, B, N, H, W, min_scale=1.0, max_scale=max_scale)
+    return codec.genome_to_renderer(g)
+
+
+def test_forward_matches_oracle(key):
+    g9 = _g9(key)
+    a = render_pallas_diff(g9, H, W, interpret=True)
+    b = oracle.render_xla(g9, H, W)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_grads_match_oracle_autodiff(key):
+    g9 = _g9(key)
+    tgt = jax.random.uniform(jax.random.PRNGKey(4001), (H, W, 3))
+
+    def loss_p(g9):
+        return jnp.mean((render_pallas_diff(g9, H, W, interpret=True) - tgt) ** 2)
+
+    def loss_o(g9):
+        return jnp.mean((oracle.render_xla(g9, H, W, remat_chunk=16) - tgt) ** 2)
+
+    gp = jax.grad(loss_p)(g9)
+    go = jax.grad(loss_o)(g9)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(go), rtol=1e-3, atol=1e-7)
+
+
+def test_grads_with_saturated_alpha(key):
+    """f == 1 exactly (alpha 255, pixel at center): the division-free
+    backward must stay finite where (1 - f) == 0."""
+    g = jnp.array(
+        [[[0.5, 0.5, jnp.log(4.0), jnp.log(4.0), 0.0, 200.0, 50.0, 30.0, 255.0],
+          [0.5, 0.5, jnp.log(6.0), jnp.log(6.0), 0.3, 10.0, 220.0, 90.0, 255.0]]]
+    )
+    g9 = codec.genome_to_renderer(g)
+    tgt = jnp.zeros((H, W, 3))
+
+    def loss_p(g9):
+        return jnp.mean((render_pallas_diff(g9, H, W, interpret=True) - tgt) ** 2)
+
+    def loss_o(g9):
+        return jnp.mean((oracle.render_xla(g9, H, W, remat_chunk=16) - tgt) ** 2)
+
+    gp = jax.grad(loss_p)(g9)
+    go = jax.grad(loss_o)(g9)
+    assert np.all(np.isfinite(np.asarray(gp)))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(go), rtol=1e-3, atol=1e-7)
+
+
+def test_grads_match_finite_differences(key):
+    """End-to-end axes-angle -> pallas render -> MSE vs central differences."""
+    N = 3
+    g = genome.new_population(key, 1, N, H, W, min_scale=1.0, max_scale=0.3)[0]
+    tgt = jax.random.uniform(jax.random.PRNGKey(4002), (H, W, 3))
+
+    def loss(g_axes):
+        img = render_pallas_diff(codec.genome_to_renderer(g_axes), H, W, interpret=True)
+        return jnp.mean((img - tgt) ** 2)
+
+    grad = jax.grad(loss)(g)
+    eps = 1e-3
+    for (i, j) in [(0, 0), (0, 2), (1, 4), (1, 5), (2, 8)]:
+        fd = (float(loss(g.at[i, j].add(eps))) - float(loss(g.at[i, j].add(-eps)))) / (2 * eps)
+        ad = float(grad[i, j])
+        assert abs(fd - ad) < 5e-3 * max(1.0, abs(fd), abs(ad)) + 2e-4, (
+            f"grad mismatch at {(i, j)}: fd={fd} ad={ad}"
+        )
+
+
+def test_more_splats_than_chunk(key):
+    """cnt > backward chunk size (32): multi-chunk reverse path."""
+    g9 = _g9(key, B=1, N=70, max_scale=1.0)  # huge splats -> every tile sees ~all
+    tgt = jax.random.uniform(jax.random.PRNGKey(4003), (H, W, 3))
+
+    def loss_p(g9):
+        return jnp.mean((render_pallas_diff(g9, H, W, interpret=True) - tgt) ** 2)
+
+    def loss_o(g9):
+        return jnp.mean((oracle.render_xla(g9, H, W, remat_chunk=16) - tgt) ** 2)
+
+    gp = jax.grad(loss_p)(g9)
+    go = jax.grad(loss_o)(g9)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(go), rtol=2e-3, atol=1e-7)
