@@ -38,7 +38,7 @@ class RenderConfig:
     """Rasterizer settings (reference: modules/config.py:18-19, render.py:203-214)."""
 
     k_sigma: float = 3.0
-    tile_h: int = 16
+    tile_h: int = 64  # swept on v5e: (64,128) ~1.7x faster than (16,128)
     tile_w: int = 128
     background: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     # Per-tile splat-list capacity for the binned Pallas path. None = N

@@ -343,5 +343,6 @@ def genetic_approx(
     except Exception as e:  # pragma: no cover
         print(f"[warn] Could not save loss curves: {e}")
 
+    io_mod.flush_frames()
     best = np.asarray(jax.device_get(state.best))
     return best, float(state.best_fit), curves

@@ -273,5 +273,6 @@ def simulated_annealing(
     except Exception as e:  # pragma: no cover
         print(f"[warn] Could not save SA curves: {e}")
 
+    io_mod.flush_frames()
     best = np.asarray(jax.device_get(state.best))
     return best, float(state.best_fit), curves

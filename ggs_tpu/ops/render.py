@@ -41,7 +41,7 @@ def render_splats(
     background: Sequence[float] = (1.0, 1.0, 1.0),
     impl: str = "auto",
     bin_capacity: Optional[int] = None,
-    tile_h: int = 16,
+    tile_h: int = 64,
     tile_w: int = 128,
     remat_chunk: int = 64,
 ) -> jnp.ndarray:

@@ -208,7 +208,7 @@ def render_pallas(
     k_sigma: float = 3.0,
     background: Sequence[float] = (1.0, 1.0, 1.0),
     bin_capacity: Optional[int] = None,
-    tile_h: int = 16,
+    tile_h: int = 64,
     tile_w: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -280,7 +280,7 @@ def fitness_pallas(
     boost_only: bool = False,
     boost_beta: float = 1.0,
     bin_capacity: Optional[int] = None,
-    tile_h: int = 16,
+    tile_h: int = 64,
     tile_w: int = 128,
     interpret: bool = False,
     has_mask: Optional[bool] = None,  # derived; present for jit caching only

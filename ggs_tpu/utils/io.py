@@ -24,13 +24,48 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(pil, dtype=np.float32) / 255.0
 
 
-def save_image_u8(img01, path: str) -> None:
-    """Save a [H, W, 3] float image in [0,1] as PNG (run_ggs.py:69-77)."""
-    from PIL import Image
+def _native():
+    """The C++ IO runtime (ggs_tpu/native), or None if it can't build."""
+    try:
+        from .. import native as native_mod
 
+        return native_mod if native_mod.available() else None
+    except Exception:
+        return None
+
+
+_frame_writer = None
+
+
+def _get_frame_writer():
+    """Lazy module-level async frame writer (C++ worker thread)."""
+    global _frame_writer
+    if _frame_writer is None:
+        nat = _native()
+        if nat is not None:
+            _frame_writer = nat.FrameWriter(max_queue=8)
+    return _frame_writer
+
+
+def flush_frames() -> None:
+    """Wait for all queued async frame writes to hit disk."""
+    if _frame_writer is not None:
+        _frame_writer.flush()
+
+
+def save_image_u8(img01, path: str) -> None:
+    """Save a [H, W, 3] float image in [0,1] as PNG (run_ggs.py:69-77).
+
+    Uses the C++ encoder when available, PIL otherwise."""
     arr = np.asarray(jax.device_get(img01))
     img8 = (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    nat = _native()
+    if nat is not None:
+        nat.write_png_rgb8(path, img8)
+        return
+    from PIL import Image
+
     Image.fromarray(img8).save(path)
 
 
@@ -72,11 +107,18 @@ def save_frame_png(
     (modules/utils.py:62-69)."""
     if not save_video:
         return None
-    from PIL import Image
-
     img8 = render_genome_to_u8(ind_axes_angle, H, W, k_sigma, impl=impl)
     os.makedirs(video_dir, exist_ok=True)
     fname = f"{prefix}_{gen:0{pad}d}.png"
     path = os.path.join(video_dir, fname)
+    fw = _get_frame_writer()
+    if fw is not None:
+        # async: PNG encode + disk IO happen on the C++ worker thread, so
+        # snapshots never stall the generation loop (the reference blocks
+        # on PIL here, modules/utils.py:62-69)
+        fw.submit(path, img8)
+        return path
+    from PIL import Image
+
     Image.fromarray(img8).save(path)
     return path
