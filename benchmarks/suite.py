@@ -1,0 +1,237 @@
+"""Benchmark suite: the BASELINE.md configs, measured on the attached chip.
+
+Usage:
+    python benchmarks/suite.py [--quick] [--out results.json]
+
+Configs (BASELINE.json "configs" + render microbenchmarks):
+    render-512           raw fused evaluation, 512 splats @ 512^2 (f32 + bf16)
+    sa-64-gray           SA iterations/s: 64 splats -> 64^2 target
+    ga-256               GA generations/s: pop 64, 256 splats -> 256^2
+    grad-2k              Adam steps/s: 2000 splats @ 512^2 (pallas VJP)
+    memetic-256          hybrid GA+SGD generations/s: pop 256 (chunked eval)
+
+Each config prints one JSON line; --out also writes the list to a file.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(x).sum())
+
+
+def _time(fn, iters):
+    out = fn()
+    _sync(out)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_render(quick: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from ggs_tpu.models import genome
+    from ggs_tpu.ops import codec
+    from ggs_tpu.ops.render_pallas import fitness_pallas
+
+    H = W = 512
+    N = 512
+    B = 16 if quick else 64
+    g9 = codec.genome_to_renderer(genome.new_population(jax.random.PRNGKey(0), B, N, H, W))
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3), dtype=jnp.float32)
+    wm = jnp.ones((H, W), jnp.float32)
+    rows = []
+    for prec in ["highest", "bf16"]:
+        f = jax.jit(lambda g, p=prec: fitness_pallas(g, tgt, wm, H, W, precision=p))
+        dt = _time(lambda: f(g9), 2 if quick else 5)
+        rows.append(
+            {
+                "config": f"render-512-{prec}",
+                "metric": "candidate renders/s/chip",
+                "value": round(B / dt, 1),
+                "detail": f"B={B} N={N} {H}x{W} fused fitness",
+            }
+        )
+    return rows
+
+
+def bench_sa(quick: bool):
+    import jax
+
+    from ggs_tpu.config import GenomeConfig, SAConfig
+    from ggs_tpu.models import genome, sa
+    from ggs_tpu.ops import codec, objective, render
+
+    H = W = 64
+    gnm = GenomeConfig(n_splats=64, min_scale=1.0)
+    obj = objective.Objective(H=H, W=W)
+    # grayscale target (equal channels), per BASELINE config
+    g0 = genome.new_population(jax.random.PRNGKey(7), 1, 64, H, W, 1.0, 0.1)[0]
+    img = render.render_splats(codec.genome_to_renderer(g0)[None], H, W)[0]
+    tgt = img.mean(axis=-1, keepdims=True).repeat(3, axis=-1)
+    cfg = SAConfig(iterations=10_000, tries_per_iter=8)
+    st = sa.init(jax.random.PRNGKey(0), obj, tgt, None, gnm)
+    run = sa.make_run_block(obj, cfg, gnm)
+    iters = 50 if quick else 200
+    st, _ = run(st, tgt, None, 10)  # compile
+    t0 = time.perf_counter()
+    st, m = run(st, tgt, None, iters)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / iters
+    return [
+        {
+            "config": "sa-64-gray",
+            "metric": "SA iterations/s (8 proposals each)",
+            "value": round(1.0 / dt, 1),
+            "detail": "64 splats -> 64x64 grayscale, batched proposals",
+        }
+    ]
+
+
+def bench_ga(quick: bool):
+    import jax
+
+    from ggs_tpu.config import GAConfig, GenomeConfig
+    from ggs_tpu.models import ga, genome
+    from ggs_tpu.ops import codec, objective, render
+
+    H = W = 256
+    gnm = GenomeConfig(n_splats=256)
+    obj = objective.Objective(H=H, W=W)
+    g0 = genome.new_population(jax.random.PRNGKey(7), 1, 256, H, W)[0]
+    tgt = render.render_splats(codec.genome_to_renderer(g0)[None], H, W)[0]
+    cfg = GAConfig(pop_size=64, generations=100_000, elite_k=8)
+    st = ga.init(jax.random.PRNGKey(0), obj, tgt, None, cfg, gnm)
+    run = ga.make_run_block(obj, cfg, gnm)
+    iters = 20 if quick else 100
+    st, _ = run(st, tgt, None, 5)  # compile
+    t0 = time.perf_counter()
+    st, m = run(st, tgt, None, iters)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / iters
+    return [
+        {
+            "config": "ga-256",
+            "metric": "GA generations/s",
+            "value": round(1.0 / dt, 1),
+            "detail": "pop 64 x 256 splats -> 256x256 (64 renders/gen)",
+        }
+    ]
+
+
+def bench_grad(quick: bool):
+    import jax
+
+    from ggs_tpu.config import GenomeConfig, GradConfig
+    from ggs_tpu.models import genome, gradient
+    from ggs_tpu.ops import objective
+
+    H = W = 512
+    N = 500 if quick else 2000
+    gnm = GenomeConfig(n_splats=N)
+    obj = objective.Objective(H=H, W=W)
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3))
+    cfg = GradConfig(lr=1e-2)
+    opt, _ = gradient.make_fit_step(obj, gnm, cfg)
+    g0 = genome.new_population(jax.random.PRNGKey(0), 1, N, H, W)
+    state = gradient.init_state(opt, g0)
+    run = gradient.make_run_block(obj, gnm, cfg)
+    iters = 5 if quick else 20
+    state, _ = run(state, tgt, None, 2)  # compile
+    t0 = time.perf_counter()
+    state, m = run(state, tgt, None, iters)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / iters
+    return [
+        {
+            "config": "grad-2k",
+            "metric": "Adam steps/s (fwd+bwd)",
+            "value": round(1.0 / dt, 2),
+            "detail": f"{N} splats @ 512x512, Pallas custom-VJP",
+        }
+    ]
+
+
+def bench_memetic(quick: bool):
+    import jax
+
+    from ggs_tpu.config import GAConfig, GenomeConfig, GradConfig
+    from ggs_tpu.models import ga, genome
+    from ggs_tpu.ops import codec, objective, render
+
+    H = W = 128
+    gnm = GenomeConfig(n_splats=128)
+    P = 64 if quick else 256
+    obj = objective.Objective(H=H, W=W, chunk=64 if P > 64 else None)
+    g0 = genome.new_population(jax.random.PRNGKey(7), 1, 128, H, W)[0]
+    tgt = render.render_splats(codec.genome_to_renderer(g0)[None], H, W)[0]
+    cfg = GAConfig(pop_size=P, generations=100_000, elite_k=8)
+    st = ga.init(jax.random.PRNGKey(0), obj, tgt, None, cfg, gnm)
+    run = ga.make_memetic_run_block(
+        obj, cfg, gnm, GradConfig(lr=1e-2), refine_every=10, refine_steps=3
+    )
+    iters = 10 if quick else 50
+    st, _ = run(st, tgt, None, 5)
+    t0 = time.perf_counter()
+    st, m = run(st, tgt, None, iters)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / iters
+    return [
+        {
+            "config": "memetic-256",
+            "metric": "memetic GA generations/s",
+            "value": round(1.0 / dt, 1),
+            "detail": f"pop {P} x 128 splats -> 128x128, SGD elites every 10 gens",
+        }
+    ]
+
+
+BENCHES = {
+    "render": bench_render,
+    "sa": bench_sa,
+    "ga": bench_ga,
+    "grad": bench_grad,
+    "memetic": bench_memetic,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default="", help="comma-separated subset of benches")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"[suite] backend={jax.default_backend()} devices={jax.devices()}", file=sys.stderr)
+    names = args.only.split(",") if args.only else list(BENCHES)
+    results = []
+    for name in names:
+        try:
+            rows = BENCHES[name](args.quick)
+        except Exception as e:  # keep the suite running past one failure
+            rows = [{"config": name, "error": f"{type(e).__name__}: {e}"}]
+        for r in rows:
+            print(json.dumps(r))
+            results.append(r)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

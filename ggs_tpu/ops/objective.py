@@ -41,6 +41,9 @@ class Objective(NamedTuple):
     # "mse" (reference semantics) | "ssim" | "mix" (fused MSE/SSIM energy)
     metric: str = "mse"
     ssim_weight: float = 0.5
+    # "highest" = f32, oracle-exact; "bf16" = fast evolutionary mode
+    # (fused pallas path only)
+    precision: str = "highest"
 
 
 def render_genomes(obj: Objective, g_axes: jnp.ndarray) -> jnp.ndarray:
@@ -105,6 +108,7 @@ def evaluate(
                 boost_only=obj.boost_only,
                 boost_beta=obj.boost_beta,
                 bin_capacity=obj.bin_capacity,
+                precision=obj.precision,
             )
         imgs = render_genomes(obj, g)
         if obj.mesh is not None and obj.pspec_imgs is not None:

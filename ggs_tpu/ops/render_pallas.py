@@ -89,12 +89,24 @@ def _bin_splats(
     return bin_idx, cnt
 
 
-def _composite_tile(cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background):
+def _composite_tile(
+    cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
+    compute_dtype=jnp.float32,
+):
     """Shared hot loop: sequentially "over"-blend this tile's splat list
-    onto the background. Returns the clamped (r, g, b) planes."""
+    onto the background. Returns the clamped (r, g, b) planes (f32).
+
+    compute_dtype=bfloat16 is the fast path (~1.5-2x VPU throughput): the
+    quadratic form, exp, and blend run packed-bf16; the final planes are
+    returned in f32. The reference sketched the same trade with its unused
+    use_fp16_canvas flag (modules/render.py:213, 235) — here it is a real,
+    tested mode for the evolutionary loops (ranking is tolerant); exact f32
+    remains the default and matches the oracle bit-for-bit.
+    """
     t = pl.program_id(1)
     tx0 = (t % n_tx) * tile_w
     ty0 = (t // n_tx) * tile_h
+    dt = compute_dtype
 
     xi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + tx0
     yi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + ty0
@@ -120,31 +132,51 @@ def _composite_tile(cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, backgroun
         y0 = feats_ref[0, _F_Y0, s]
         y1 = feats_ref[0, _F_Y1, s]
 
-        qx = xf - cx
-        qy = yf - cy
-        quad = sxx * (qx * qx) + 2.0 * sxy * (qx * qy) + syy * (qy * qy)
-        f = jnp.exp(-0.5 * quad) * a
-        m = (xf >= x0) & (xf <= x1) & (yf >= y0) & (yf <= y1)
-        f = jnp.where(m, f, 0.0)
+        # Centered offsets in f32 (qx spans the canvas; bf16 would lose
+        # pixel resolution), then the quadratic form in compute_dtype.
+        # Scalar arithmetic stays f32 (Mosaic has no scalar bf16 ALU ops);
+        # scalars are cast exactly once where they broadcast into vectors.
+        qx = (xf - cx).astype(dt)
+        qy = (yf - cy).astype(dt)
+        sxy2 = sxy + sxy  # f32 scalar
+        quad = (
+            sxx.astype(dt) * (qx * qx)
+            + sxy2.astype(dt) * (qx * qy)
+            + syy.astype(dt) * (qy * qy)
+        )
+        f = jnp.exp(jnp.asarray(-0.5, dt) * quad) * a.astype(dt)
 
-        one_m_f = 1.0 - f
+        # AABB mask — skipped (scalar branch) when the splat's box fully
+        # covers this tile, which is common for large splats and saves the
+        # 4-compare+select vector work (~20% of the loop body).
+        tile_x1 = jnp.float32(tx0 + tile_w - 1)
+        tile_y1 = jnp.float32(ty0 + tile_h - 1)
+        fully = (x0 <= tx0) & (x1 >= tile_x1) & (y0 <= ty0) & (y1 >= tile_y1)
+
+        def masked(f):
+            m = (xf >= x0) & (xf <= x1) & (yf >= y0) & (yf <= y1)
+            return jnp.where(m, f, jnp.asarray(0.0, dt))
+
+        f = jax.lax.cond(fully, lambda f: f, masked, f)
+
+        one_m_f = jnp.asarray(1.0, dt) - f
         return (
-            one_m_f * cr + f * rc,
-            one_m_f * cg + f * gc,
-            one_m_f * cb + f * bc,
+            one_m_f * cr + f * rc.astype(dt),
+            one_m_f * cg + f * gc.astype(dt),
+            one_m_f * cb + f * bc.astype(dt),
         )
 
     bg = background
     init = (
-        jnp.full((tile_h, tile_w), bg[0], jnp.float32),
-        jnp.full((tile_h, tile_w), bg[1], jnp.float32),
-        jnp.full((tile_h, tile_w), bg[2], jnp.float32),
+        jnp.full((tile_h, tile_w), bg[0], dt),
+        jnp.full((tile_h, tile_w), bg[1], dt),
+        jnp.full((tile_h, tile_w), bg[2], dt),
     )
     cr, cg, cb = jax.lax.fori_loop(0, cnt, body, init)
     return (
-        jnp.clip(cr, 0.0, 1.0),
-        jnp.clip(cg, 0.0, 1.0),
-        jnp.clip(cb, 0.0, 1.0),
+        jnp.clip(cr.astype(jnp.float32), 0.0, 1.0),
+        jnp.clip(cg.astype(jnp.float32), 0.0, 1.0),
+        jnp.clip(cb.astype(jnp.float32), 0.0, 1.0),
     )
 
 
@@ -179,13 +211,15 @@ def _fitness_tile_kernel(
     tile_h: int,
     tile_w: int,
     background: Tuple[float, float, float],
+    compute_dtype=jnp.float32,
 ):
     """Fused render + masked-MSE partial: the candidate canvas never leaves
     VMEM (BASELINE.md: on-chip fitness). All three scoring modes of
     modules/fitness.py:18-31 reduce to sum(dif^2 * w_eff) / D with w_eff
     and the scalar D precomputed by the caller."""
     cr, cg, cb = _composite_tile(
-        cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background
+        cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
+        compute_dtype=compute_dtype,
     )
     w = weff_ref[:, :]
     dr = cr - target_ref[0]
@@ -266,7 +300,7 @@ def render_pallas(
     jax.jit,
     static_argnames=(
         "H", "W", "k_sigma", "background", "boost_only", "boost_beta",
-        "bin_capacity", "tile_h", "tile_w", "interpret", "has_mask",
+        "bin_capacity", "tile_h", "tile_w", "interpret", "has_mask", "precision",
     ),
 )
 def fitness_pallas(
@@ -284,6 +318,7 @@ def fitness_pallas(
     tile_w: int = 128,
     interpret: bool = False,
     has_mask: Optional[bool] = None,  # derived; present for jit caching only
+    precision: str = "highest",  # "highest" (f32, oracle-exact) | "bf16" (fast)
 ) -> jnp.ndarray:
     """Fused render+fitness: renderer genomes [B, N, 9] -> fitness [B].
 
@@ -330,6 +365,7 @@ def fitness_pallas(
             tile_h=tile_h,
             tile_w=tile_w,
             background=tuple(float(c) for c in background),
+            compute_dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
         ),
         grid=(B, T),
         in_specs=[

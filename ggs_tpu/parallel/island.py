@@ -1,0 +1,179 @@
+"""Island-model GA: per-shard evolution with ring migration.
+
+The GSPMD path (parallel/shard.py) partitions the exact single-chip GA —
+global tournament selection costs an all-gather of the parent genomes every
+generation. The island model removes that: the population is split into
+`n_islands` independent demes (one per pop shard), selection/crossover/
+elitism stay within a deme — expressed on the global [P, N, 9] array as
+block-local index arithmetic, so GSPMD compiles them with NO cross-shard
+communication — and every `migrate_every` generations each deme's k best
+individuals ride a ring permute to the next deme (shard.migrate_ring),
+replacing its k worst. This is the classic distributed-GA topology and the
+cheap-collective design SURVEY.md §2.4 calls for.
+
+With n_islands == 1 the step reduces exactly to models/ga.step.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GAConfig, GenomeConfig, MutSigma
+from ..models import genome as genome_mod
+from ..models import operators
+from ..models.ga import GAState
+from ..ops import objective as objective_mod
+from ..ops.objective import Objective
+from . import shard as shard_mod
+
+
+def _island_tournament(key, fits: jnp.ndarray, n_islands: int, k: int) -> jnp.ndarray:
+    """Per-island k-way tournaments: row r draws entrants only from its own
+    island. Returns global winner indices [P]."""
+    P = fits.shape[0]
+    S = P // n_islands
+    base = (jnp.arange(P) // S) * S  # island offset per output row
+    idx = base[:, None] + jax.random.randint(key, (P, k), 0, S)
+    cand = fits[idx]
+    win = jnp.argmin(cand, axis=1)
+    return jnp.take_along_axis(idx, win[:, None], axis=1)[:, 0]
+
+
+def _island_shuffle(key, x: jnp.ndarray, n_islands: int) -> jnp.ndarray:
+    """Shuffle rows independently within each island (stable block layout)."""
+    P = x.shape[0]
+    S = P // n_islands
+    u = jax.random.uniform(key, (P,))
+    # sort by (island, u): rows stay in their island block, order randomized
+    keys_sort = (jnp.arange(P) // S).astype(jnp.float32) * 2.0 + u
+    order = jnp.argsort(keys_sort)
+    return x[order]
+
+
+def step(
+    state: GAState,
+    obj: Objective,
+    target: jnp.ndarray,
+    weight_mask,
+    ga: GAConfig,
+    gnm: GenomeConfig,
+    sig_max: dict,
+    sig_min: dict,
+    n_islands: int,
+    migrate_every: int = 0,
+    migrate_k: int = 1,
+    mesh=None,
+) -> Tuple[GAState, jnp.ndarray]:
+    """One island-GA generation over the global [P, N, 9] array."""
+    P, N, _ = state.pop.shape
+    S = P // n_islands
+    E = max(1, min(ga.elite_k, S - 1))
+    key, k_sel, k_shuf, k_cx, k_cxm, k_mut, k_mig = jax.random.split(state.key, 7)
+    gen = state.gen + 1
+
+    sel = _island_tournament(k_sel, state.fits, n_islands, ga.tour_k)
+    parents = _island_shuffle(k_shuf, state.pop[sel], n_islands)
+
+    a = parents[0::2]
+    b = parents[1::2]
+    do_cx = jax.random.uniform(k_cx, (P // 2, 1, 1)) < ga.cxpb
+    m = jax.random.uniform(k_cxm, (P // 2, N, 1)) < 0.5
+    m_eff = m | ~do_cx
+    c1 = jnp.where(m_eff, a, b)
+    c2 = jnp.where(m_eff, b, a)
+    offspring = jnp.stack([c1, c2], axis=1).reshape(P, N, 9)
+
+    sig = genome_mod.build_mut_sigma(gen, ga.generations, ga.schedule, sig_max, sig_min)
+    offspring = operators.mutate_population(
+        k_mut, offspring, sig, ga.mutpb, obj.H, obj.W, gnm.min_scale, gnm.max_scale
+    )
+    off_fits = objective_mod.evaluate(obj, offspring, target, weight_mask)
+
+    # Per-island elitism
+    fits_i = state.fits.reshape(n_islands, S)
+    pop_i = state.pop.reshape(n_islands, S, N, 9)
+    _, elite_idx = jax.lax.top_k(-fits_i, E)  # [I, E]
+    elites = jnp.take_along_axis(pop_i, elite_idx[:, :, None, None], axis=1)
+    elite_fits = jnp.take_along_axis(fits_i, elite_idx, axis=1)
+
+    off_i = offspring.reshape(n_islands, S, N, 9)
+    offf_i = off_fits.reshape(n_islands, S)
+    pop = jnp.concatenate([elites, off_i[:, : S - E]], axis=1).reshape(P, N, 9)
+    fits = jnp.concatenate([elite_fits, offf_i[:, : S - E]], axis=1).reshape(P)
+
+    # Ring migration (a collective-permute over the pop axis under GSPMD)
+    if migrate_every and n_islands > 1 and mesh is not None:
+        def migrate(args):
+            p, f = args
+            return shard_mod.migrate_ring(p, f, migrate_k, mesh)
+
+        pop, fits = jax.lax.cond(
+            gen % migrate_every == 0, migrate, lambda x: x, (pop, fits)
+        )
+    elif migrate_every and n_islands > 1:
+        # meshless variant (tests / single host): same roll, no mesh needed
+        def migrate(args):
+            p, f = args
+            return _migrate_roll(p, f, migrate_k, n_islands)
+
+        pop, fits = jax.lax.cond(
+            gen % migrate_every == 0, migrate, lambda x: x, (pop, fits)
+        )
+
+    gb = jnp.argmin(fits)
+    improved = fits[gb] + 1e-10 < state.best_fit
+    best = jnp.where(improved, pop[gb], state.best)
+    best_fit = jnp.where(improved, fits[gb], state.best_fit)
+    no_improve = jnp.where(improved, 0, state.no_improve + 1)
+
+    metrics = jnp.stack([best_fit, jnp.mean(fits), jnp.median(fits)])
+    return GAState(pop, fits, best, best_fit, no_improve.astype(jnp.int32), key, gen), metrics
+
+
+def _migrate_roll(pop, fits, k, n_islands):
+    """Mesh-free ring migration over island blocks (same math as
+    shard.migrate_ring with n_shards = n_islands)."""
+    P = pop.shape[0]
+    S = P // n_islands
+    pop_s = pop.reshape(n_islands, S, *pop.shape[1:])
+    fits_s = fits.reshape(n_islands, S)
+    _, best_idx = jax.lax.top_k(-fits_s, k)
+    migrants = jnp.take_along_axis(pop_s, best_idx[:, :, None, None], axis=1)
+    migrant_fits = jnp.take_along_axis(fits_s, best_idx, axis=1)
+    migrants = jnp.roll(migrants, 1, axis=0)
+    migrant_fits = jnp.roll(migrant_fits, 1, axis=0)
+    _, worst_idx = jax.lax.top_k(fits_s, k)
+    pop_s = jax.vmap(lambda p, w, mg: p.at[w].set(mg))(pop_s, worst_idx, migrants)
+    fits_s = jax.vmap(lambda f, w, mf: f.at[w].set(mf))(fits_s, worst_idx, migrant_fits)
+    return pop_s.reshape(P, *pop.shape[1:]), fits_s.reshape(P)
+
+
+def make_run_block(
+    obj: Objective,
+    ga: GAConfig,
+    gnm: GenomeConfig,
+    n_islands: int,
+    migrate_every: int = 0,
+    migrate_k: int = 1,
+    mesh=None,
+    sig_max: Optional[MutSigma] = None,
+    sig_min: Optional[MutSigma] = None,
+):
+    """Jitted (state, target, weight_mask, num_gens) -> (state, metrics)."""
+    sig_max_d = (sig_max or MutSigma.max_defaults()).__dict__
+    sig_min_d = (sig_min or MutSigma.min_defaults()).__dict__
+
+    @partial(jax.jit, static_argnames=("num_gens",), donate_argnums=(0,))
+    def run(state: GAState, target, weight_mask, num_gens: int):
+        def body(st, _):
+            return step(
+                st, obj, target, weight_mask, ga, gnm, sig_max_d, sig_min_d,
+                n_islands, migrate_every, migrate_k, mesh,
+            )
+
+        return jax.lax.scan(body, state, None, length=num_gens)
+
+    return run

@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask-strength", type=float, default=0.7)
     p.add_argument("--boost-only", action="store_true")
     p.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument(
+        "--precision", default="highest", choices=["highest", "bf16"],
+        help="bf16: ~1.5-2x faster fused evaluation (f32 stays oracle-exact)",
+    )
+    p.add_argument("--metric", default="mse", choices=["mse", "ssim", "mix"])
+    p.add_argument("--ssim-weight", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--no-video", action="store_true")
@@ -69,6 +75,9 @@ def main(argv=None) -> None:
         boost_only=args.boost_only,
         impl=args.impl,
         chunk=args.eval_chunk or None,
+        metric=args.metric,
+        ssim_weight=args.ssim_weight,
+        precision=args.precision,
     )
     ga_cfg = GAConfig(
         pop_size=args.pop_size,
