@@ -86,7 +86,7 @@ def bench_sa(quick: bool):
     st = sa.init(jax.random.PRNGKey(0), obj, tgt, None, gnm)
     run = sa.make_run_block(obj, cfg, gnm)
     iters = 50 if quick else 200
-    st, _ = run(st, tgt, None, 10)  # compile
+    st, _ = run(st, tgt, None, iters)  # compile at the same static length
     t0 = time.perf_counter()
     st, m = run(st, tgt, None, iters)
     _sync(m)
@@ -117,7 +117,7 @@ def bench_ga(quick: bool):
     st = ga.init(jax.random.PRNGKey(0), obj, tgt, None, cfg, gnm)
     run = ga.make_run_block(obj, cfg, gnm)
     iters = 20 if quick else 100
-    st, _ = run(st, tgt, None, 5)  # compile
+    st, _ = run(st, tgt, None, iters)  # compile at the same static length
     t0 = time.perf_counter()
     st, m = run(st, tgt, None, iters)
     _sync(m)
@@ -150,7 +150,7 @@ def bench_grad(quick: bool):
     state = gradient.init_state(opt, g0)
     run = gradient.make_run_block(obj, gnm, cfg)
     iters = 5 if quick else 20
-    state, _ = run(state, tgt, None, 2)  # compile
+    state, _ = run(state, tgt, None, iters)  # compile at the same static length
     t0 = time.perf_counter()
     state, m = run(state, tgt, None, iters)
     _sync(m)
@@ -184,7 +184,7 @@ def bench_memetic(quick: bool):
         obj, cfg, gnm, GradConfig(lr=1e-2), refine_every=10, refine_steps=3
     )
     iters = 10 if quick else 50
-    st, _ = run(st, tgt, None, 5)
+    st, _ = run(st, tgt, None, iters)  # compile at the same static length
     t0 = time.perf_counter()
     st, m = run(st, tgt, None, iters)
     _sync(m)

@@ -234,14 +234,26 @@ def genetic_approx(
     checkpoint_every: int = 0,
     resume_from: str = "",
     progress: bool = True,
+    mesh=None,
+    n_islands: int = 1,
+    migrate_every: int = 0,
+    migrate_k: int = 1,
+    profile_dir: str = "",
 ):
     """Host driver: full GA run with curves/frames/checkpoints.
 
     The run_ggs.py / modules/algorithm.py:17-195 equivalent. The host loop
     only paces logging: `log_every` generations execute per jitted block
     (one device round-trip each), so raising it amortizes sync cost.
+
+    With `mesh` set, the population/target are placed on the (pop, tile)
+    mesh and the step runs SPMD; `n_islands > 1` switches to deme-local
+    selection with ring migration (parallel/island.py). `profile_dir`
+    captures a jax.profiler trace of the first post-warmup block.
     Returns (best_genome [N,9] np, best_fit float, curves dict).
     """
+    import time as time_mod
+
     import numpy as np
 
     from ..config import MaskConfig
@@ -249,6 +261,7 @@ def genetic_approx(
     from ..utils import checkpoint as ckpt_mod
     from ..utils import curves as curves_mod
     from ..utils import io as io_mod
+    from ..utils import profiling
 
     mask_cfg = mask_cfg if mask_cfg is not None else MaskConfig()
 
@@ -266,6 +279,11 @@ def genetic_approx(
         strength=mask_cfg.strength,
     )
 
+    if mesh is not None:
+        from ..parallel import shard as shard_mod
+
+        obj = shard_mod.sharded_objective(obj, mesh)
+
     key = jax.random.PRNGKey(seed)
     state = init(key, obj, target, weight_mask, ga, gnm)
     start_gen = 0
@@ -279,7 +297,21 @@ def genetic_approx(
         start_gen = int(meta.get("gen", 0))
         curves = meta.get("curves", curves)
 
-    run = make_run_block(obj, ga, gnm, sig_max, sig_min)
+    if mesh is not None:
+        from ..parallel import shard as shard_mod
+
+        state = shard_mod.place_ga_state(state, mesh)
+        target = shard_mod.place_target(target, mesh)
+        weight_mask = shard_mod.place_mask(weight_mask, mesh)
+
+    if n_islands > 1:
+        from ..parallel import island as island_mod
+
+        run = island_mod.make_run_block(
+            obj, ga, gnm, n_islands, migrate_every, migrate_k, mesh, sig_max, sig_min
+        )
+    else:
+        run = make_run_block(obj, ga, gnm, sig_max, sig_min)
 
     pad = len(str(ga.generations))
     if save_video and start_gen == 0:
@@ -298,11 +330,21 @@ def genetic_approx(
 
     gen = start_gen
     last_frame_bucket = gen // max(1, frame_every)
+    profiled = not profile_dir
+    gens_per_s = 0.0
     try:
         while gen < ga.generations:
             block = min(log_every, ga.generations - gen)
-            state, metrics = run(state, target, weight_mask, block)
+            t_block = time_mod.perf_counter()
+            if not profiled and gen > start_gen:  # skip the compile block
+                profiled = True
+                with profiling.trace(profile_dir):
+                    state, metrics = run(state, target, weight_mask, block)
+                    jax.block_until_ready(metrics)
+            else:
+                state, metrics = run(state, target, weight_mask, block)
             metrics = np.asarray(jax.device_get(metrics))  # [block, 3]
+            gens_per_s = block / max(1e-9, time_mod.perf_counter() - t_block)
             curves["best"].extend(metrics[:, 0].tolist())
             curves["mean"].extend(metrics[:, 1].tolist())
             curves["median"].extend(metrics[:, 2].tolist())
@@ -327,6 +369,7 @@ def genetic_approx(
                     best_mse=f"{float(state.best_fit):.6f}",
                     stale=int(state.no_improve),
                     sigma_fac=f"{f:.3f}",
+                    gens_s=f"{gens_per_s:.1f}",
                 )
     except KeyboardInterrupt:
         print("\n[Interrupted] Returning current best individual…", flush=True)

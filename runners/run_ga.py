@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", default="")
     p.add_argument("--eval-chunk", type=int, default=0, help="0 = whole population at once")
+    p.add_argument("--pop-shards", type=int, default=1, help="mesh pop-axis size")
+    p.add_argument("--tile-shards", type=int, default=1, help="mesh tile-axis size")
+    p.add_argument("--islands", type=int, default=1, help=">1: island-model GA")
+    p.add_argument("--migrate-every", type=int, default=0)
+    p.add_argument("--migrate-k", type=int, default=1)
+    p.add_argument("--profile-dir", default="", help="capture a jax.profiler trace here")
     return p
 
 
@@ -92,6 +98,13 @@ def main(argv=None) -> None:
     mask_cfg = MaskConfig(strength=args.mask_strength, boost_only=args.boost_only)
     frame_every = max(1, args.generations // (args.fps * args.video_len))
 
+    mesh = None
+    if args.pop_shards * args.tile_shards > 1:
+        from ggs_tpu.parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh(args.pop_shards, args.tile_shards)
+        print(f"mesh: pop={args.pop_shards} x tile={args.tile_shards}")
+
     best, best_fit, _ = ga.genetic_approx(
         target,
         H,
@@ -112,6 +125,11 @@ def main(argv=None) -> None:
         checkpoint_path=os.path.join(args.output_dir, "ga_ckpt.npz"),
         checkpoint_every=args.checkpoint_every,
         resume_from=args.resume,
+        mesh=mesh,
+        n_islands=args.islands,
+        migrate_every=args.migrate_every,
+        migrate_k=args.migrate_k,
+        profile_dir=args.profile_dir,
     )
     print("Best MSE:", best_fit)
 
