@@ -44,7 +44,8 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _splat_feats(p: codec.SplatScreen) -> jnp.ndarray:
-    """SplatScreen fields [B, N] -> feats [B, 13, N] float32."""
+    """SplatScreen fields [B, N] -> feats [B, 13, N] float32 (raw layout,
+    used by the backward kernel which needs unscaled precision terms)."""
     return jnp.stack(
         [
             p.cx, p.cy, p.sxx, p.sxy, p.syy,
@@ -54,6 +55,34 @@ def _splat_feats(p: codec.SplatScreen) -> jnp.ndarray:
         ],
         axis=1,
     )
+
+
+def _splat_feats_fast(p: codec.SplatScreen) -> jnp.ndarray:
+    """Forward-kernel parameter table [B, 13, N+1] f32, constants pre-folded.
+
+    Rows 2-4 hold (-0.5*sxx, -sxy, -0.5*syy) so the hot loop computes
+    exp(quad') directly instead of exp(-0.5*quad): scaling each coefficient
+    by the exact power of two -0.5 (and -1 for the cross term, absorbing the
+    reference's 2*sxy, render.py:190) keeps every f32 intermediate
+    bit-identical to the unfolded form while saving a vector multiply per
+    splat per tile. Column N is a sentinel (alpha 0, inverted AABB) that
+    composites to an exact no-op — the unrolled walk reads up to
+    `unroll - 1` entries past cnt and lands on it harmlessly.
+    """
+    B, N = p.cx.shape
+    feats = jnp.stack(
+        [
+            p.cx, p.cy, -0.5 * p.sxx, -p.sxy, -0.5 * p.syy,
+            p.rc, p.gc, p.bc, p.a,
+            p.x0.astype(jnp.float32), p.x1.astype(jnp.float32),
+            p.y0.astype(jnp.float32), p.y1.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    sentinel = jnp.zeros((B, _NFEAT, 1), jnp.float32)
+    sentinel = sentinel.at[:, _F_X0, 0].set(1e9)
+    sentinel = sentinel.at[:, _F_X1, 0].set(-1e9)
+    return jnp.concatenate([feats, sentinel], axis=2)
 
 
 def _bin_splats(
@@ -91,17 +120,24 @@ def _bin_splats(
 
 def _composite_tile(
     cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, unroll=8,
 ):
     """Shared hot loop: sequentially "over"-blend this tile's splat list
     onto the background. Returns the clamped (r, g, b) planes (f32).
 
-    compute_dtype=bfloat16 is the fast path (~1.5-2x VPU throughput): the
-    quadratic form, exp, and blend run packed-bf16; the final planes are
-    returned in f32. The reference sketched the same trade with its unused
-    use_fp16_canvas flag (modules/render.py:213, 235) — here it is a real,
-    tested mode for the evolutionary loops (ranking is tolerant); exact f32
-    remains the default and matches the oracle bit-for-bit.
+    The walk is unrolled `unroll` splats per fori_loop step: the blend is a
+    true sequential dependence, but the quadratic form / exp / mask of the
+    next splats are independent, so unrolling lets Mosaic overlap their
+    SMEM scalar loads and VPU work with the previous blend (the per-splat
+    fixed cost — measured ~50 cycles — was on par with the vector math).
+    The list is sentinel-padded (see _splat_feats_fast) so overshooting cnt
+    by up to unroll-1 entries is an exact no-op.
+
+    compute_dtype=bfloat16 runs the quadratic form, exp, and blend in bf16
+    (the reference sketched the same trade with its unused use_fp16_canvas
+    flag, modules/render.py:213, 235) — kept as a tested mode though
+    measured no faster on v5e (the VPU is f32-native); exact f32 is the
+    default and matches the oracle bit-for-bit.
     """
     t = pl.program_id(1)
     tx0 = (t % n_tx) * tile_w
@@ -115,14 +151,14 @@ def _composite_tile(
 
     cnt = cnt_ref[0, 0, 0, 0]
 
-    def body(k, canvas):
+    def blend_one(k, canvas):
         cr, cg, cb = canvas
         s = idx_ref[0, 0, 0, k]
         cx = feats_ref[0, _F_CX, s]
         cy = feats_ref[0, _F_CY, s]
-        sxx = feats_ref[0, _F_SXX, s]
-        sxy = feats_ref[0, _F_SXY, s]
-        syy = feats_ref[0, _F_SYY, s]
+        nsxx = feats_ref[0, _F_SXX, s]  # -0.5*sxx (pre-folded, exact)
+        nsxy = feats_ref[0, _F_SXY, s]  # -sxy
+        nsyy = feats_ref[0, _F_SYY, s]  # -0.5*syy
         rc = feats_ref[0, _F_R, s]
         gc = feats_ref[0, _F_G, s]
         bc = feats_ref[0, _F_B, s]
@@ -138,26 +174,18 @@ def _composite_tile(
         # scalars are cast exactly once where they broadcast into vectors.
         qx = (xf - cx).astype(dt)
         qy = (yf - cy).astype(dt)
-        sxy2 = sxy + sxy  # f32 scalar
         quad = (
-            sxx.astype(dt) * (qx * qx)
-            + sxy2.astype(dt) * (qx * qy)
-            + syy.astype(dt) * (qy * qy)
+            nsxx.astype(dt) * (qx * qx)
+            + nsxy.astype(dt) * (qx * qy)
+            + nsyy.astype(dt) * (qy * qy)
         )
-        f = jnp.exp(jnp.asarray(-0.5, dt) * quad) * a.astype(dt)
+        f = jnp.exp(quad) * a.astype(dt)
 
-        # AABB mask — skipped (scalar branch) when the splat's box fully
-        # covers this tile, which is common for large splats and saves the
-        # 4-compare+select vector work (~20% of the loop body).
-        tile_x1 = jnp.float32(tx0 + tile_w - 1)
-        tile_y1 = jnp.float32(ty0 + tile_h - 1)
-        fully = (x0 <= tx0) & (x1 >= tile_x1) & (y0 <= ty0) & (y1 >= tile_y1)
-
-        def masked(f):
-            m = (xf >= x0) & (xf <= x1) & (yf >= y0) & (yf <= y1)
-            return jnp.where(m, f, jnp.asarray(0.0, dt))
-
-        f = jax.lax.cond(fully, lambda f: f, masked, f)
+        # AABB truncation (render.py:175-177). Unconditional: a scalar
+        # branch skipping it for fully-covering splats was measured slower
+        # than the 8 vector ops it saves (branches defeat pipelining).
+        m = (xf >= x0) & (xf <= x1) & (yf >= y0) & (yf <= y1)
+        f = jnp.where(m, f, jnp.asarray(0.0, dt))
 
         one_m_f = jnp.asarray(1.0, dt) - f
         return (
@@ -172,7 +200,15 @@ def _composite_tile(
         jnp.full((tile_h, tile_w), bg[1], dt),
         jnp.full((tile_h, tile_w), bg[2], dt),
     )
-    cr, cg, cb = jax.lax.fori_loop(0, cnt, body, init)
+
+    def chunk_body(c, canvas):
+        base = c * unroll
+        for j in range(unroll):  # static unroll
+            canvas = blend_one(base + j, canvas)
+        return canvas
+
+    n_chunks = (cnt + unroll - 1) // unroll
+    cr, cg, cb = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
     return (
         jnp.clip(cr.astype(jnp.float32), 0.0, 1.0),
         jnp.clip(cg.astype(jnp.float32), 0.0, 1.0),
@@ -182,17 +218,19 @@ def _composite_tile(
 
 def _render_tile_kernel(
     cnt_ref,  # (1, 1, 1, 1) SMEM int32
-    idx_ref,  # (1, 1, 1, cap) SMEM int32
-    feats_ref,  # (1, 13, N) SMEM f32
+    idx_ref,  # (1, 1, 1, cap+unroll) SMEM int32
+    feats_ref,  # (1, 13, N+1) SMEM f32
     out_ref,  # (1, 3, tile_h, tile_w) VMEM f32
     *,
     n_tx: int,
     tile_h: int,
     tile_w: int,
     background: Tuple[float, float, float],
+    unroll: int = 8,
 ):
     cr, cg, cb = _composite_tile(
-        cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background
+        cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
+        unroll=unroll,
     )
     out_ref[0, 0] = cr
     out_ref[0, 1] = cg
@@ -201,8 +239,8 @@ def _render_tile_kernel(
 
 def _fitness_tile_kernel(
     cnt_ref,  # (1, 1, 1, 1) SMEM int32
-    idx_ref,  # (1, 1, 1, cap) SMEM int32
-    feats_ref,  # (1, 13, N) SMEM f32
+    idx_ref,  # (1, 1, 1, cap+unroll) SMEM int32
+    feats_ref,  # (1, 13, N+1) SMEM f32
     target_ref,  # (3, tile_h, tile_w) VMEM f32 (broadcast over batch)
     weff_ref,  # (tile_h, tile_w) VMEM f32 (0 on canvas padding)
     out_ref,  # (1, 1, 1, 1) VMEM f32: this tile's sum(dif^2 * w_eff)
@@ -212,6 +250,7 @@ def _fitness_tile_kernel(
     tile_w: int,
     background: Tuple[float, float, float],
     compute_dtype=jnp.float32,
+    unroll: int = 8,
 ):
     """Fused render + masked-MSE partial: the candidate canvas never leaves
     VMEM (BASELINE.md: on-chip fitness). All three scoring modes of
@@ -219,7 +258,7 @@ def _fitness_tile_kernel(
     and the scalar D precomputed by the caller."""
     cr, cg, cb = _composite_tile(
         cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, unroll=unroll,
     )
     w = weff_ref[:, :]
     dr = cr - target_ref[0]
@@ -232,7 +271,8 @@ def _fitness_tile_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "H", "W", "k_sigma", "background", "bin_capacity", "tile_h", "tile_w", "interpret",
+        "H", "W", "k_sigma", "background", "bin_capacity", "tile_h", "tile_w",
+        "interpret", "unroll",
     ),
 )
 def render_pallas(
@@ -245,6 +285,7 @@ def render_pallas(
     tile_h: int = 64,
     tile_w: int = 128,
     interpret: bool = False,
+    unroll: int = 8,
 ) -> jnp.ndarray:
     """Render renderer-format genomes [B, N, 9] (or [N, 9]) -> [B, H, W, 3].
 
@@ -264,8 +305,9 @@ def render_pallas(
     cap = N if bin_capacity is None else min(bin_capacity, N)
 
     p = codec.preprocess(g9, H, W, k_sigma)
-    feats = _splat_feats(p)  # [B, 13, N]
+    feats = _splat_feats_fast(p)  # [B, 13, N+1] (sentinel col)
     bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+    bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 
     out = pl.pallas_call(
         functools.partial(
@@ -274,14 +316,15 @@ def render_pallas(
             tile_h=tile_h,
             tile_w=tile_w,
             background=tuple(float(c) for c in background),
+            unroll=unroll,
         ),
         grid=(B, T),
         in_specs=[
             # TPU blocks: last two dims must equal the array's (or be 8/128
             # aligned) — scalar/list inputs carry trailing singleton dims.
             pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, cap), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _NFEAT, N), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, cap + unroll), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NFEAT, N + 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 3, tile_h, tile_w),
@@ -301,6 +344,7 @@ def render_pallas(
     static_argnames=(
         "H", "W", "k_sigma", "background", "boost_only", "boost_beta",
         "bin_capacity", "tile_h", "tile_w", "interpret", "has_mask", "precision",
+        "unroll",
     ),
 )
 def fitness_pallas(
@@ -319,6 +363,7 @@ def fitness_pallas(
     interpret: bool = False,
     has_mask: Optional[bool] = None,  # derived; present for jit caching only
     precision: str = "highest",  # "highest" (f32, oracle-exact) | "bf16" (fast)
+    unroll: int = 8,
 ) -> jnp.ndarray:
     """Fused render+fitness: renderer genomes [B, N, 9] -> fitness [B].
 
@@ -338,8 +383,9 @@ def fitness_pallas(
     cap = N if bin_capacity is None else min(bin_capacity, N)
 
     p = codec.preprocess(g9, H, W, k_sigma)
-    feats = _splat_feats(p)
+    feats = _splat_feats_fast(p)
     bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+    bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 
     target = target.astype(jnp.float32)
     # Effective per-pixel weight + scalar denominator per scoring mode
@@ -366,12 +412,13 @@ def fitness_pallas(
             tile_w=tile_w,
             background=tuple(float(c) for c in background),
             compute_dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
+            unroll=unroll,
         ),
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, cap), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _NFEAT, N), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, cap + unroll), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NFEAT, N + 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (3, tile_h, tile_w),
                 lambda b, t: (0, t // n_tx, t % n_tx),
