@@ -33,8 +33,8 @@ def main() -> None:
     H = _env_int("GGS_BENCH_H", 512)
     W = _env_int("GGS_BENCH_W", 512)
     N = _env_int("GGS_BENCH_N", 512)
-    B = _env_int("GGS_BENCH_B", 64)
-    iters = _env_int("GGS_BENCH_ITERS", 5)
+    B = _env_int("GGS_BENCH_B", 256)
+    iters = _env_int("GGS_BENCH_ITERS", 8)
     impl = os.environ.get("GGS_BENCH_IMPL", "auto")
 
     if impl == "auto":
