@@ -45,7 +45,10 @@ from .render_pallas import (
     _cdiv,
     _render_tile_kernel,
     _splat_feats,
+    _splat_feats_fast,
 )
+
+_FWD_UNROLL = 8  # forward kernel walk unroll (see render_pallas._composite_tile)
 
 _NGRAD = 9  # dcx, dcy, dsxx, dsxy, dsyy, drc, dgc, dbc, da
 _CHUNK = 32  # backward remat chunk (splats per stored boundary canvas)
@@ -226,13 +229,14 @@ def _make_screen_render(
     max_chunks = cap_pad // _CHUNK
 
     def prep(arrs):
-        """13 float arrays [B, N] -> (feats [B,13,N1], bin_idx, cnt)."""
-        p = codec.SplatScreen(
-            cx=arrs[0], cy=arrs[1], sxx=arrs[2], sxy=arrs[3], syy=arrs[4],
-            rc=arrs[5], gc=arrs[6], bc=arrs[7], a=arrs[8],
-            x0=arrs[9].astype(jnp.int32), x1=arrs[10].astype(jnp.int32),
-            y0=arrs[11].astype(jnp.int32), y1=arrs[12].astype(jnp.int32),
-        )
+        """13 float arrays [B, N] -> (feats [B,13,N1], bin_idx, cnt).
+
+        `feats` is the raw layout the backward kernel differentiates
+        through; the forward kernel's pre-folded table is rebuilt from the
+        same SplatScreen on demand (fwd_only) rather than saved as a
+        residual.
+        """
+        p = _screen(arrs)
         feats = _splat_feats(p)  # [B, 13, N]
         feats = jnp.concatenate([feats, jnp.zeros((B, _NFEAT, 1), jnp.float32)], axis=2)
         bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
@@ -242,16 +246,32 @@ def _make_screen_render(
             )
         return feats, bin_idx, cnt
 
-    def fwd_only(feats, bin_idx, cnt):
+    def _screen(arrs):
+        return codec.SplatScreen(
+            cx=arrs[0], cy=arrs[1], sxx=arrs[2], sxy=arrs[3], syy=arrs[4],
+            rc=arrs[5], gc=arrs[6], bc=arrs[7], a=arrs[8],
+            x0=arrs[9].astype(jnp.int32), x1=arrs[10].astype(jnp.int32),
+            y0=arrs[11].astype(jnp.int32), y1=arrs[12].astype(jnp.int32),
+        )
+
+    def fwd_only(arrs, bin_idx, cnt):
+        # _render_tile_kernel expects the pre-folded table + sentinel and
+        # walks the list _FWD_UNROLL entries at a time, so the idx lists
+        # carry that much extra sentinel padding.
+        feats_fast = _splat_feats_fast(_screen(arrs))
+        bin_idx = jnp.pad(
+            bin_idx, ((0, 0), (0, 0), (0, _FWD_UNROLL)), constant_values=N
+        )
         return pl.pallas_call(
             functools.partial(
                 _render_tile_kernel,
                 n_tx=n_tx, tile_h=tile_h, tile_w=tile_w, background=background,
+                unroll=_FWD_UNROLL,
             ),
             grid=(B, T),
             in_specs=[
                 pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1, cap_pad), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, cap_pad + _FWD_UNROLL), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, _NFEAT, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
@@ -261,7 +281,7 @@ def _make_screen_render(
             ),
             out_shape=jax.ShapeDtypeStruct((B, 3, Hp, Wp), jnp.float32),
             interpret=interpret,
-        )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats)
+        )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats_fast)
 
     def bwd_grads(feats, bin_idx, cnt, g_img):
         grads = pl.pallas_call(
@@ -296,12 +316,12 @@ def _make_screen_render(
 
     @jax.custom_vjp
     def screen_render(*arrs):
-        feats, bin_idx, cnt = prep(arrs)
-        return fwd_only(feats, bin_idx, cnt)
+        _, bin_idx, cnt = prep(arrs)
+        return fwd_only(arrs, bin_idx, cnt)
 
     def screen_render_fwd(*arrs):
         feats, bin_idx, cnt = prep(arrs)
-        return fwd_only(feats, bin_idx, cnt), (feats, bin_idx, cnt)
+        return fwd_only(arrs, bin_idx, cnt), (feats, bin_idx, cnt)
 
     def screen_render_bwd(res, g_img):
         feats, bin_idx, cnt = res
