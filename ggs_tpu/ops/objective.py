@@ -44,6 +44,8 @@ class Objective(NamedTuple):
     # "highest" = f32, oracle-exact; "bf16" = fast evolutionary mode
     # (fused pallas path only)
     precision: str = "highest"
+    # Pallas interpret mode (CPU tests of the fused paths)
+    interpret: bool = False
 
 
 def render_genomes(obj: Objective, g_axes: jnp.ndarray) -> jnp.ndarray:
@@ -91,9 +93,7 @@ def evaluate(
             )
         if impl == "pallas" and obj.mesh is None:
             # Fused on-chip fitness: candidate canvases never reach HBM
-            # (BASELINE.md). The sharded (mesh) path keeps the image route
-            # so GSPMD can partition it; a shard_map'd fused path can slot
-            # in here later.
+            # (BASELINE.md).
             from . import render_pallas
 
             g9 = codec.genome_to_renderer(g)
@@ -109,7 +109,12 @@ def evaluate(
                 boost_beta=obj.boost_beta,
                 bin_capacity=obj.bin_capacity,
                 precision=obj.precision,
+                interpret=obj.interpret,
             )
+        if impl == "pallas" and obj.mesh is not None and obj.pspec_imgs is not None:
+            out = _evaluate_fused_sharded(obj, g, target, weight_mask)
+            if out is not None:
+                return out
         imgs = render_genomes(obj, g)
         if obj.mesh is not None and obj.pspec_imgs is not None:
             sharding = jax.sharding.NamedSharding(
@@ -130,3 +135,92 @@ def evaluate(
     g_chunks = g_axes.reshape(B // obj.chunk, obj.chunk, *g_axes.shape[1:])
     fits = jax.lax.map(eval_batch, g_chunks)
     return fits.reshape(B)
+
+
+def _evaluate_fused_sharded(
+    obj: Objective,
+    g_axes: jnp.ndarray,
+    target: jnp.ndarray,
+    weight_mask: Optional[jnp.ndarray],
+) -> Optional[jnp.ndarray]:
+    """shard_map'd fused fitness over the (pop, tile) mesh.
+
+    Candidates shard over the pop axis; canvas ROWS shard over the tile
+    axis (the sequence-parallel analogue, SURVEY.md §5): every device runs
+    the fused Pallas kernel on its population shard x row slab via
+    fitness_pallas_partial, then the weighted-SSE partials (and the
+    mask-dependent denominators) psum over the tile axis — one scalar per
+    candidate on the wire, no candidate canvas ever materializes in HBM.
+    Returns None when the shapes don't divide the mesh (caller falls back
+    to the GSPMD image route).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    from . import render_pallas  # noqa: F401  (ensures kernel import errors surface here)
+
+    mesh = obj.mesh
+    pop_ax, tile_ax = obj.pspec_imgs[0], obj.pspec_imgs[1]
+    npop = mesh.shape[pop_ax]
+    ntile = mesh.shape[tile_ax]
+    B = g_axes.shape[0]
+    H, W = obj.H, obj.W
+    if B % npop != 0 or H % ntile != 0:
+        return None
+    Hs = H // ntile
+    tile_h = next((t for t in (64, 32, 16, 8) if Hs % t == 0), None)
+    tile_w = next((t for t in (128, 256) if W % t == 0), 128)
+    if tile_h is None:
+        return None
+
+    boost_only = obj.boost_only
+    boost_beta = obj.boost_beta
+    hw3 = jnp.float32(H * W * 3)
+
+    def local(g_ax, tgt_rows, w_rows):
+        g9 = codec.genome_to_renderer(g_ax)
+        y0 = (jax.lax.axis_index(tile_ax) * Hs).astype(jnp.int32)
+        if w_rows is None:
+            w_eff = jnp.ones((Hs, W), jnp.float32)
+            denom = hw3
+        elif boost_only:
+            w_eff = 1.0 + boost_beta * jnp.clip(w_rows.astype(jnp.float32), 0.0, 1.0)
+            mean_w = jax.lax.psum(jnp.sum(w_eff), tile_ax) / hw3 * 3.0
+            denom = (mean_w + 1e-12) * hw3
+        else:
+            w_eff = w_rows.astype(jnp.float32)
+            denom = jax.lax.psum(jnp.sum(w_eff), tile_ax) + 1e-12
+        num = render_pallas.fitness_pallas_partial(
+            g9,
+            tgt_rows,
+            w_eff,
+            H,
+            W,
+            y0,
+            k_sigma=obj.k_sigma,
+            background=tuple(obj.background),
+            bin_capacity=obj.bin_capacity,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            interpret=obj.interpret,
+        )
+        return jax.lax.psum(num, tile_ax) / denom
+
+    if weight_mask is None:
+        fn = shard_map(
+            lambda g, t: local(g, t, None),
+            mesh=mesh,
+            in_specs=(P(pop_ax), P(tile_ax)),
+            out_specs=P(pop_ax),
+            check_vma=False,  # pallas_call can't declare varying-axes metadata
+        )
+        return fn(g_axes, target)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(pop_ax), P(tile_ax), P(tile_ax)),
+        out_specs=P(pop_ax),
+        check_vma=False,  # pallas_call can't declare varying-axes metadata
+    )
+    return fn(g_axes, target, weight_mask)

@@ -440,6 +440,104 @@ def fitness_pallas(
     return jnp.sum(partials[:, :, 0, 0], axis=1) / denom
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "k_sigma", "background", "bin_capacity", "tile_h", "tile_w",
+        "interpret", "unroll",
+    ),
+)
+def fitness_pallas_partial(
+    g9: jnp.ndarray,
+    target_slab: jnp.ndarray,  # [Hs, W, 3] this device's canvas rows
+    w_slab: jnp.ndarray,  # [Hs, W] effective weights (0 where excluded)
+    H: int,
+    W: int,
+    y_origin: jnp.ndarray,  # int32 scalar: global row of slab row 0
+    k_sigma: float = 3.0,
+    background: Sequence[float] = (1.0, 1.0, 1.0),
+    bin_capacity: Optional[int] = None,
+    tile_h: int = 64,
+    tile_w: int = 128,
+    interpret: bool = False,
+    unroll: int = 8,
+) -> jnp.ndarray:
+    """Row-slab partial of the fused fitness: sum(dif^2 * w) over the slab.
+
+    The tile-sharded building block (SURVEY.md §2.4: canvas rows are this
+    domain's sequence axis): each device renders only its H/ntile rows and
+    the partials psum over the tile mesh axis. Splats are preprocessed
+    against the GLOBAL canvas (H, W) and then shifted down by y_origin —
+    integer row offsets subtract exactly in f32 (all quantities < 2^24), so
+    qy and the AABB tests are bit-identical to the full-canvas kernel and
+    the psummed fitness matches the single-chip fused path to reduction
+    rounding. Out-of-slab splats bin to no local tile (the tile-range
+    overlap test handles negative shifted rows).
+    """
+    if g9.ndim == 2:
+        g9 = g9[None]
+    B, N, _ = g9.shape
+    g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
+    Hs = target_slab.shape[0]
+
+    n_tx = _cdiv(W, tile_w)
+    n_ty = _cdiv(Hs, tile_h)
+    T = n_tx * n_ty
+    Hp, Wp = n_ty * tile_h, n_tx * tile_w
+    cap = N if bin_capacity is None else min(bin_capacity, N)
+
+    p = codec.preprocess(g9, H, W, k_sigma)
+    yo_i = y_origin.astype(p.y0.dtype)
+    p = p._replace(
+        cy=p.cy - y_origin.astype(jnp.float32),
+        y0=p.y0 - yo_i,
+        y1=p.y1 - yo_i,
+    )
+    feats = _splat_feats_fast(p)
+    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+    bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
+
+    target_p = jnp.zeros((3, Hp, Wp), jnp.float32)
+    target_p = target_p.at[:, :Hs, :W].set(
+        jnp.transpose(target_slab.astype(jnp.float32), (2, 0, 1))
+    )
+    w_p = jnp.zeros((Hp, Wp), jnp.float32).at[:Hs, :W].set(w_slab.astype(jnp.float32))
+
+    partials = pl.pallas_call(
+        functools.partial(
+            _fitness_tile_kernel,
+            n_tx=n_tx,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            background=tuple(float(c) for c in background),
+            unroll=unroll,
+        ),
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, cap + unroll), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NFEAT, N + 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (3, tile_h, tile_w),
+                lambda b, t: (0, t // n_tx, t % n_tx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_h, tile_w),
+                lambda b, t: (t // n_tx, t % n_tx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, 1, 1), jnp.float32),
+        interpret=interpret,
+    )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats, target_p, w_p)
+
+    return jnp.sum(partials[:, :, 0, 0], axis=1)
+
+
 def max_bin_count(
     g9: jnp.ndarray, H: int, W: int, k_sigma: float = 3.0, tile_h: int = 16, tile_w: int = 128
 ) -> jnp.ndarray:

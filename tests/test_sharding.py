@@ -90,3 +90,53 @@ def test_migrate_ring_invariants(key):
         assert (np.abs(flat_new - best_row[None]).sum(1) < 1e-6).any()
     # Global best fitness can only improve or stay
     assert float(new_fits.min()) <= float(fits.min()) + 1e-7
+
+
+def test_fused_sharded_evaluate_matches_image_path(key):
+    """The shard_map'd fused Pallas fitness (pop x tile mesh: row-slab
+    partials psum'd over the tile axis) must agree with the unsharded
+    image-route fitness for all scoring modes."""
+    m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
+    pop = genome.new_population(key, 8, 8, H, W, GNM.min_scale, GNM.max_scale)
+    target = _target(jax.random.PRNGKey(2002))
+    wm = jnp.linspace(0.3, 1.0, H)[:, None] * jnp.ones((H, W))
+
+    for mask, boost in ((None, False), (wm, False), (wm, True)):
+        ref = objective.evaluate(OBJ._replace(boost_only=boost), pop, target, mask)
+        obj_f = shard.sharded_objective(
+            OBJ._replace(impl="pallas", interpret=True, boost_only=boost), m
+        )
+        got = jax.jit(lambda p, t, w: objective.evaluate(obj_f, p, t, w))(
+            jax.device_put(pop, mesh_mod.pop_sharding(m)),
+            shard.place_target(target, m),
+            shard.place_mask(mask, m),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_fitness_pallas_partial_row_slabs_sum_to_full(key):
+    """Summing fitness_pallas_partial over row slabs == full-canvas fused
+    numerator (the bit-exact shift argument in its docstring)."""
+    from ggs_tpu.ops import render_pallas
+
+    pop = genome.new_population(key, 4, 8, H, W, GNM.min_scale, GNM.max_scale)
+    g9 = codec.genome_to_renderer(pop)
+    target = _target(jax.random.PRNGKey(2003))
+    w = jnp.ones((H, W), jnp.float32)
+
+    full = render_pallas.fitness_pallas(
+        g9, target, None, H, W, tile_h=8, tile_w=128, interpret=True
+    ) * jnp.float32(H * W * 3)
+
+    parts = []
+    for i in range(2):
+        y0 = jnp.int32(i * (H // 2))
+        parts.append(
+            render_pallas.fitness_pallas_partial(
+                g9, target[i * (H // 2):(i + 1) * (H // 2)], w[: H // 2],
+                H, W, y0, tile_h=8, tile_w=128, interpret=True,
+            )
+        )
+    np.testing.assert_allclose(
+        np.asarray(parts[0] + parts[1]), np.asarray(full), rtol=1e-6, atol=1e-7
+    )
