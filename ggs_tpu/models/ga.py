@@ -332,9 +332,14 @@ def genetic_approx(
     last_frame_bucket = gen // max(1, frame_every)
     profiled = not profile_dir
     gens_per_s = 0.0
+    # Frames can only be snapshotted between scan blocks, so honor a frame
+    # cadence finer than the logging cadence by shrinking the block (the
+    # reference saves mid-loop at exactly frame_every, algorithm.py:158).
+    block_size = min(log_every, frame_every) if save_video else log_every
+    block_size = max(1, block_size)
     try:
         while gen < ga.generations:
-            block = min(log_every, ga.generations - gen)
+            block = min(block_size, ga.generations - gen)
             t_block = time_mod.perf_counter()
             if not profiled and gen > start_gen:  # skip the compile block
                 profiled = True

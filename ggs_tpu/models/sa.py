@@ -231,9 +231,11 @@ def simulated_annealing(
 
     it = start_it
     last_frame_bucket = it // max(1, frame_every)
+    # Honor a frame cadence finer than the logging cadence (see ga.py).
+    block_size = max(1, min(log_every, frame_every) if save_video else log_every)
     try:
         while it < sa.iterations:
-            block = min(log_every, sa.iterations - it)
+            block = min(block_size, sa.iterations - it)
             state, metrics = run(state, target, weight_mask, block)
             metrics = np.asarray(jax.device_get(metrics))
             curves["best"].extend(metrics[:, 0].tolist())

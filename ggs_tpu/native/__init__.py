@@ -74,6 +74,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ]
+        lib.ggs_apng_new.restype = ctypes.c_void_p
+        lib.ggs_apng_new.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.ggs_apng_add.restype = ctypes.c_int
+        lib.ggs_apng_add.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.ggs_apng_finish.restype = ctypes.c_int
+        lib.ggs_apng_finish.argtypes = [ctypes.c_void_p]
+        lib.ggs_apng_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -144,6 +153,64 @@ class FrameWriter:
     def __del__(self):  # best-effort
         try:
             self.close()
+        except Exception:
+            pass
+
+
+class ApngWriter:
+    """Streaming animated-PNG builder (C++ encoder).
+
+    Frames stream in as [H, W, 3] uint8 and are deflated immediately, so
+    only compressed frames stay in memory; close() writes the .apng (acTL +
+    fcTL/fdAT chunks, full-frame replace, infinite loop). This turns the
+    reference's frame-cadence config (SAVE_VIDEO/FPS, modules/config.py:
+    61-64) into an actual assembled animation — the reference never
+    assembles one.
+    """
+
+    def __init__(self, path: str, h: int, w: int, fps: int = 30):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("ggs_native unavailable")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._lib = lib
+        self._h = lib.ggs_apng_new(path.encode(), h, w, fps)
+        if not self._h:
+            raise ValueError(f"bad APNG dims {h}x{w}")
+        self._path = path
+        self._shape = (h, w)
+        self.frames = 0
+
+    def add(self, arr) -> None:
+        a = _as_u8(arr)
+        assert a.shape[:2] == self._shape, f"{a.shape[:2]} != {self._shape}"
+        rc = self._lib.ggs_apng_add(
+            self._h, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        if rc != 0:
+            raise IOError(f"APNG frame add failed for {self._path}")
+        self.frames += 1
+
+    def close(self) -> bool:
+        """Write the file. Returns False if no frames were added."""
+        if self._h is None:
+            return False
+        ok = self._lib.ggs_apng_finish(self._h) == 0
+        self._lib.ggs_apng_free(self._h)
+        self._h = None
+        return ok
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # best-effort
+        try:
+            if self._h is not None:
+                self._lib.ggs_apng_free(self._h)
+                self._h = None
         except Exception:
             pass
 

@@ -122,3 +122,32 @@ def save_frame_png(
 
     Image.fromarray(img8).save(path)
     return path
+
+
+def assemble_apng(video_dir: str, prefix: str, out_path: str, fps: int = 30) -> Optional[str]:
+    """Assemble the run's frame PNGs into one looping .apng animation.
+
+    The reference's SAVE_VIDEO/FPS config only sets a frame-save cadence and
+    leaves assembly to the user (SURVEY.md §3.5); this closes that gap with
+    the native streaming APNG encoder. Returns the output path, or None if
+    there are no frames or the native runtime is unavailable.
+    """
+    import glob
+
+    nat = _native()
+    if nat is None:
+        return None
+    frames = sorted(glob.glob(os.path.join(video_dir, f"{prefix}_*.png")))
+    if not frames:
+        return None
+    from PIL import Image
+
+    first = np.asarray(Image.open(frames[0]).convert("RGB"))
+    writer = nat.ApngWriter(out_path, first.shape[0], first.shape[1], fps=fps)
+    writer.add(first)
+    for f in frames[1:]:
+        arr = np.asarray(Image.open(f).convert("RGB"))
+        if arr.shape != first.shape:  # resolution changed mid-run: skip
+            continue
+        writer.add(arr)
+    return out_path if writer.close() else None

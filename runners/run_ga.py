@@ -144,6 +144,13 @@ def main(argv=None) -> None:
     io_mod.save_image_u8(final, out_path)
     print(f"Saved full resolution result as {out_path}")
 
+    if save_video:
+        anim = io_mod.assemble_apng(
+            video_dir, "ga", os.path.join(args.output_dir, "ga_anim.apng"), fps=args.fps
+        )
+        if anim:
+            print(f"Assembled animation: {anim}")
+
 
 if __name__ == "__main__":
     main()

@@ -59,3 +59,47 @@ def test_io_uses_native_writer(tmp_path):
 
     back = np.asarray(Image.open(path))
     assert back.shape == (8, 8, 3)
+
+
+def test_apng_writer_roundtrip(tmp_path):
+    """Native streaming APNG: PIL must see an animated PNG with the right
+    frame count, size, and per-frame pixels."""
+    native = pytest.importorskip("ggs_tpu.native")
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from PIL import Image
+
+    path = str(tmp_path / "anim.apng")
+    w = native.ApngWriter(path, 24, 32, fps=12)
+    for i in range(4):
+        a = np.zeros((24, 32, 3), np.uint8)
+        a[:, : (i + 1) * 8] = [200, 10 + 20 * i, 5]
+        w.add(a)
+    assert w.close()
+
+    im = Image.open(path)
+    assert im.format == "PNG" and im.is_animated and im.n_frames == 4
+    assert im.size == (32, 24)
+    im.seek(2)
+    arr = np.asarray(im.convert("RGB"))
+    assert arr[0, 0].tolist() == [200, 50, 5]
+    assert arr[0, 31].tolist() == [0, 0, 0]
+
+
+def test_assemble_apng_from_frames(tmp_path):
+    """utils.io.assemble_apng stitches saved frame PNGs into one animation."""
+    native = pytest.importorskip("ggs_tpu.native")
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from PIL import Image
+
+    from ggs_tpu.utils import io as io_mod
+
+    vdir = str(tmp_path / "frames")
+    for g in (0, 5, 10):
+        img = np.full((16, 16, 3), g * 20, np.uint8)
+        native.write_png_rgb8(f"{vdir}/ga_{g:06d}.png", img)
+    out = io_mod.assemble_apng(vdir, "ga", str(tmp_path / "ga_anim.apng"), fps=5)
+    assert out is not None
+    im = Image.open(out)
+    assert im.is_animated and im.n_frames == 3
