@@ -43,6 +43,114 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+# Largest splat count whose parameter table + bin list fit the 1 MiB SMEM
+# window with double buffering: 13 rows * 4 B * N (feats) + 4 B * N (idx),
+# x2 buffering => N <= ~9.2k; 8000 leaves headroom. Beyond this, splats are
+# rendered in sequential chunks, each pass starting from the previous
+# canvas — exact, because "over" composites associatively in painter order.
+_MAX_SMEM_SPLATS = 8000
+
+
+def _split_screen(p: codec.SplatScreen, lo: int, hi: int) -> codec.SplatScreen:
+    return jax.tree_util.tree_map(lambda a: a[:, lo:hi], p)
+
+
+def _render_padded(
+    p: codec.SplatScreen,
+    Hs: int,
+    W: int,
+    tile_h: int,
+    tile_w: int,
+    background: Tuple[float, float, float],
+    unroll: int,
+    interpret: bool,
+    bin_capacity: Optional[int] = None,
+    init_p: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Screen-space splats (slab coords) -> padded canvas [B, 3, Hp, Wp].
+
+    One compositing pass over this SplatScreen's splats; with init_p, the
+    canvas starts from a previous pass instead of the background.
+    """
+    B, N = p.cx.shape
+    n_tx = _cdiv(W, tile_w)
+    n_ty = _cdiv(Hs, tile_h)
+    T = n_tx * n_ty
+    cap = N if bin_capacity is None else min(bin_capacity, N)
+
+    feats = _splat_feats_fast(p)
+    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+    bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, cap + unroll), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, _NFEAT, N + 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [cnt[:, :, None, None], bin_idx[:, :, None, :], feats]
+    if init_p is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 3, tile_h, tile_w),
+                lambda b, t: (b, 0, t // n_tx, t % n_tx),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(init_p)
+
+    return pl.pallas_call(
+        functools.partial(
+            _render_tile_kernel,
+            n_tx=n_tx,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            background=background,
+            unroll=unroll,
+            has_init=init_p is not None,
+        ),
+        grid=(B, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 3, tile_h, tile_w),
+            lambda b, t: (b, 0, t // n_tx, t % n_tx),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 3, n_ty * tile_h, n_tx * tile_w), jnp.float32),
+        interpret=interpret,
+    )(*args)
+
+
+def _chunked_passes(
+    p: codec.SplatScreen,
+    Hs: int,
+    W: int,
+    tile_h: int,
+    tile_w: int,
+    background: Tuple[float, float, float],
+    unroll: int,
+    interpret: bool,
+    bin_capacity: Optional[int],
+    keep_last: bool,
+):
+    """Split splats into SMEM-sized chunks. Returns (canvas_before_last,
+    last_chunk_screen) when keep_last (for fused-fitness epilogues), else
+    (full canvas, None)."""
+    N = p.cx.shape[1]
+    n_chunks = max(1, _cdiv(N, _MAX_SMEM_SPLATS))
+    bounds = [i * N // n_chunks for i in range(n_chunks + 1)]
+    img_p = None
+    last = n_chunks - 1
+    for i in range(n_chunks):
+        pc = _split_screen(p, bounds[i], bounds[i + 1]) if n_chunks > 1 else p
+        if keep_last and i == last:
+            return img_p, pc
+        img_p = _render_padded(
+            pc, Hs, W, tile_h, tile_w, background, unroll, interpret,
+            bin_capacity=bin_capacity, init_p=img_p,
+        )
+    return img_p, None
+
+
 def _splat_feats(p: codec.SplatScreen) -> jnp.ndarray:
     """SplatScreen fields [B, N] -> feats [B, 13, N] float32 (raw layout,
     used by the backward kernel which needs unscaled precision terms)."""
@@ -120,7 +228,7 @@ def _bin_splats(
 
 def _composite_tile(
     cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
-    compute_dtype=jnp.float32, unroll=8,
+    compute_dtype=jnp.float32, unroll=8, init_ref=None,
 ):
     """Shared hot loop: sequentially "over"-blend this tile's splat list
     onto the background. Returns the clamped (r, g, b) planes (f32).
@@ -194,12 +302,23 @@ def _composite_tile(
             one_m_f * cb + f * bc.astype(dt),
         )
 
-    bg = background
-    init = (
-        jnp.full((tile_h, tile_w), bg[0], dt),
-        jnp.full((tile_h, tile_w), bg[1], dt),
-        jnp.full((tile_h, tile_w), bg[2], dt),
-    )
+    if init_ref is not None:
+        # Chained pass: start from the previous splat-chunk's canvas (the
+        # "over" composite is associative in painter order, so chunking
+        # splats into sequential passes is exact — used when the parameter
+        # table for all N splats exceeds SMEM).
+        init = (
+            init_ref[0, 0].astype(dt),
+            init_ref[0, 1].astype(dt),
+            init_ref[0, 2].astype(dt),
+        )
+    else:
+        bg = background
+        init = (
+            jnp.full((tile_h, tile_w), bg[0], dt),
+            jnp.full((tile_h, tile_w), bg[1], dt),
+            jnp.full((tile_h, tile_w), bg[2], dt),
+        )
 
     def chunk_body(c, canvas):
         base = c * unroll
@@ -220,17 +339,18 @@ def _render_tile_kernel(
     cnt_ref,  # (1, 1, 1, 1) SMEM int32
     idx_ref,  # (1, 1, 1, cap+unroll) SMEM int32
     feats_ref,  # (1, 13, N+1) SMEM f32
-    out_ref,  # (1, 3, tile_h, tile_w) VMEM f32
-    *,
+    *refs,  # [init_ref (1, 3, th, tw) VMEM if has_init,] out_ref
     n_tx: int,
     tile_h: int,
     tile_w: int,
     background: Tuple[float, float, float],
     unroll: int = 8,
+    has_init: bool = False,
 ):
+    init_ref, out_ref = (refs[0], refs[1]) if has_init else (None, refs[0])
     cr, cg, cb = _composite_tile(
         cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
-        unroll=unroll,
+        unroll=unroll, init_ref=init_ref,
     )
     out_ref[0, 0] = cr
     out_ref[0, 1] = cg
@@ -243,22 +363,23 @@ def _fitness_tile_kernel(
     feats_ref,  # (1, 13, N+1) SMEM f32
     target_ref,  # (3, tile_h, tile_w) VMEM f32 (broadcast over batch)
     weff_ref,  # (tile_h, tile_w) VMEM f32 (0 on canvas padding)
-    out_ref,  # (1, 1, 1, 1) VMEM f32: this tile's sum(dif^2 * w_eff)
-    *,
+    *refs,  # [init_ref (1, 3, th, tw) VMEM if has_init,] out_ref (1,1,1,1)
     n_tx: int,
     tile_h: int,
     tile_w: int,
     background: Tuple[float, float, float],
     compute_dtype=jnp.float32,
     unroll: int = 8,
+    has_init: bool = False,
 ):
     """Fused render + masked-MSE partial: the candidate canvas never leaves
     VMEM (BASELINE.md: on-chip fitness). All three scoring modes of
     modules/fitness.py:18-31 reduce to sum(dif^2 * w_eff) / D with w_eff
     and the scalar D precomputed by the caller."""
+    init_ref, out_ref = (refs[0], refs[1]) if has_init else (None, refs[0])
     cr, cg, cb = _composite_tile(
         cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
-        compute_dtype=compute_dtype, unroll=unroll,
+        compute_dtype=compute_dtype, unroll=unroll, init_ref=init_ref,
     )
     w = weff_ref[:, :]
     dr = cr - target_ref[0]
@@ -299,41 +420,11 @@ def render_pallas(
     assert C >= codec.GENE_DIM
     g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
 
-    n_tx = _cdiv(W, tile_w)
-    n_ty = _cdiv(H, tile_h)
-    T = n_tx * n_ty
-    cap = N if bin_capacity is None else min(bin_capacity, N)
-
     p = codec.preprocess(g9, H, W, k_sigma)
-    feats = _splat_feats_fast(p)  # [B, 13, N+1] (sentinel col)
-    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
-    bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _render_tile_kernel,
-            n_tx=n_tx,
-            tile_h=tile_h,
-            tile_w=tile_w,
-            background=tuple(float(c) for c in background),
-            unroll=unroll,
-        ),
-        grid=(B, T),
-        in_specs=[
-            # TPU blocks: last two dims must equal the array's (or be 8/128
-            # aligned) — scalar/list inputs carry trailing singleton dims.
-            pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, cap + unroll), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _NFEAT, N + 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 3, tile_h, tile_w),
-            lambda b, t: (b, 0, t // n_tx, t % n_tx),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, 3, n_ty * tile_h, n_tx * tile_w), jnp.float32),
-        interpret=interpret,
-    )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats)
+    out, _ = _chunked_passes(
+        p, H, W, tile_h, tile_w, tuple(float(c) for c in background),
+        unroll, interpret, bin_capacity, keep_last=False,
+    )
 
     img = jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1))
     return img[0] if squeeze else img
@@ -376,17 +467,6 @@ def fitness_pallas(
     B, N, C = g9.shape
     g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
 
-    n_tx = _cdiv(W, tile_w)
-    n_ty = _cdiv(H, tile_h)
-    T = n_tx * n_ty
-    Hp, Wp = n_ty * tile_h, n_tx * tile_w
-    cap = N if bin_capacity is None else min(bin_capacity, N)
-
-    p = codec.preprocess(g9, H, W, k_sigma)
-    feats = _splat_feats_fast(p)
-    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
-    bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
-
     target = target.astype(jnp.float32)
     # Effective per-pixel weight + scalar denominator per scoring mode
     # (modules/fitness.py:18-31); canvas padding gets w_eff = 0.
@@ -400,9 +480,76 @@ def fitness_pallas(
         w_eff = weight_mask.astype(jnp.float32)
         denom = jnp.sum(w_eff) + 1e-12
 
+    bgt = tuple(float(c) for c in background)
+    p = codec.preprocess(g9, H, W, k_sigma)
+    init_p, p_last = _chunked_passes(
+        p, H, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
+        keep_last=True,
+    )
+    num = _fitness_partials(
+        p_last, target, w_eff, H, W, tile_h, tile_w, bgt,
+        jnp.bfloat16 if precision == "bf16" else jnp.float32,
+        unroll, interpret, bin_capacity, init_p,
+    )
+    return num / denom
+
+
+def _fitness_partials(
+    p: codec.SplatScreen,
+    target: jnp.ndarray,  # [Hs, W, 3]
+    w_eff: jnp.ndarray,  # [Hs, W]
+    Hs: int,
+    W: int,
+    tile_h: int,
+    tile_w: int,
+    background: Tuple[float, float, float],
+    compute_dtype,
+    unroll: int,
+    interpret: bool,
+    bin_capacity: Optional[int],
+    init_p: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Fused composite + weighted-SSE for one (final) splat chunk -> [B]."""
+    B, N = p.cx.shape
+    n_tx = _cdiv(W, tile_w)
+    n_ty = _cdiv(Hs, tile_h)
+    T = n_tx * n_ty
+    Hp, Wp = n_ty * tile_h, n_tx * tile_w
+    cap = N if bin_capacity is None else min(bin_capacity, N)
+
+    feats = _splat_feats_fast(p)
+    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+    bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
+
     target_p = jnp.zeros((3, Hp, Wp), jnp.float32)
-    target_p = target_p.at[:, :H, :W].set(jnp.transpose(target, (2, 0, 1)))
-    w_p = jnp.zeros((Hp, Wp), jnp.float32).at[:H, :W].set(w_eff)
+    target_p = target_p.at[:, :Hs, :W].set(jnp.transpose(target, (2, 0, 1)))
+    w_p = jnp.zeros((Hp, Wp), jnp.float32).at[:Hs, :W].set(w_eff)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, cap + unroll), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, _NFEAT, N + 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (3, tile_h, tile_w),
+            lambda b, t: (0, t // n_tx, t % n_tx),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (tile_h, tile_w),
+            lambda b, t: (t // n_tx, t % n_tx),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [cnt[:, :, None, None], bin_idx[:, :, None, :], feats, target_p, w_p]
+    if init_p is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 3, tile_h, tile_w),
+                lambda b, t: (b, 0, t // n_tx, t % n_tx),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(init_p)
 
     partials = pl.pallas_call(
         functools.partial(
@@ -410,34 +557,21 @@ def fitness_pallas(
             n_tx=n_tx,
             tile_h=tile_h,
             tile_w=tile_w,
-            background=tuple(float(c) for c in background),
-            compute_dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
+            background=background,
+            compute_dtype=compute_dtype,
             unroll=unroll,
+            has_init=init_p is not None,
         ),
         grid=(B, T),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, cap + unroll), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _NFEAT, N + 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (3, tile_h, tile_w),
-                lambda b, t: (0, t // n_tx, t % n_tx),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tile_h, tile_w),
-                lambda b, t: (t // n_tx, t % n_tx),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, T, 1, 1), jnp.float32),
         interpret=interpret,
-    )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats, target_p, w_p)
+    )(*args)
 
-    return jnp.sum(partials[:, :, 0, 0], axis=1) / denom
+    return jnp.sum(partials[:, :, 0, 0], axis=1)
 
 
 @functools.partial(
@@ -480,12 +614,6 @@ def fitness_pallas_partial(
     g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
     Hs = target_slab.shape[0]
 
-    n_tx = _cdiv(W, tile_w)
-    n_ty = _cdiv(Hs, tile_h)
-    T = n_tx * n_ty
-    Hp, Wp = n_ty * tile_h, n_tx * tile_w
-    cap = N if bin_capacity is None else min(bin_capacity, N)
-
     p = codec.preprocess(g9, H, W, k_sigma)
     yo_i = y_origin.astype(p.y0.dtype)
     p = p._replace(
@@ -493,49 +621,16 @@ def fitness_pallas_partial(
         y0=p.y0 - yo_i,
         y1=p.y1 - yo_i,
     )
-    feats = _splat_feats_fast(p)
-    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
-    bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
-
-    target_p = jnp.zeros((3, Hp, Wp), jnp.float32)
-    target_p = target_p.at[:, :Hs, :W].set(
-        jnp.transpose(target_slab.astype(jnp.float32), (2, 0, 1))
+    bgt = tuple(float(c) for c in background)
+    init_p, p_last = _chunked_passes(
+        p, Hs, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
+        keep_last=True,
     )
-    w_p = jnp.zeros((Hp, Wp), jnp.float32).at[:Hs, :W].set(w_slab.astype(jnp.float32))
-
-    partials = pl.pallas_call(
-        functools.partial(
-            _fitness_tile_kernel,
-            n_tx=n_tx,
-            tile_h=tile_h,
-            tile_w=tile_w,
-            background=tuple(float(c) for c in background),
-            unroll=unroll,
-        ),
-        grid=(B, T),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, cap + unroll), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _NFEAT, N + 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (3, tile_h, tile_w),
-                lambda b, t: (0, t // n_tx, t % n_tx),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tile_h, tile_w),
-                lambda b, t: (t // n_tx, t % n_tx),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, T, 1, 1), jnp.float32),
-        interpret=interpret,
-    )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats, target_p, w_p)
-
-    return jnp.sum(partials[:, :, 0, 0], axis=1)
+    return _fitness_partials(
+        p_last, target_slab.astype(jnp.float32), w_slab.astype(jnp.float32),
+        Hs, W, tile_h, tile_w, bgt, jnp.float32, unroll, interpret,
+        bin_capacity, init_p,
+    )
 
 
 def max_bin_count(

@@ -86,3 +86,32 @@ def test_render_dispatcher_pallas(key):
     a = render.render_splats(g9, 32, 128, impl="xla")
     b = render_pallas(g9, 32, 128, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_chunked_passes_bitexact(monkeypatch, key):
+    """Forcing the SMEM splat-chunking path (sequential passes chained
+    through init_canvas) must reproduce the single-pass render bit-exactly:
+    'over' composites associatively in painter order and the mid-pass clamp
+    is a no-op on in-gamut values."""
+    from ggs_tpu.ops import render_pallas as rp
+
+    H = W = 32
+    g = genome.new_population(key, 2, 20, H, W, 1.0, 0.4)
+    g9 = codec.genome_to_renderer(g)
+
+    one_pass = rp.render_pallas(g9, H, W, tile_h=8, tile_w=128, interpret=True)
+    monkeypatch.setattr(rp, "_MAX_SMEM_SPLATS", 7)  # -> 3 passes
+    rp.render_pallas.clear_cache()  # same static args: force a retrace
+    chunked = rp.render_pallas(g9, H, W, tile_h=8, tile_w=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one_pass))
+
+    target = jnp.clip(one_pass[0] + 0.05, 0, 1)
+    monkeypatch.setattr(rp, "_MAX_SMEM_SPLATS", 8000)
+    rp.fitness_pallas.clear_cache()
+    f_one = rp.fitness_pallas(g9, target, None, H, W, tile_h=8, interpret=True)
+    monkeypatch.setattr(rp, "_MAX_SMEM_SPLATS", 7)
+    rp.fitness_pallas.clear_cache()
+    f_chunk = rp.fitness_pallas(g9, target, None, H, W, tile_h=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(f_chunk), np.asarray(f_one))
+    rp.render_pallas.clear_cache()
+    rp.fitness_pallas.clear_cache()
