@@ -59,18 +59,27 @@ def _bwd_tile_kernel(
     idx_ref,  # (1, 1, 1, cap) SMEM i32
     feats_ref,  # (1, 13, N1) SMEM f32 (row N = sentinel zeros)
     gimg_ref,  # (1, 3, tile_h, tile_w) VMEM f32 cotangent
-    grad_ref,  # (1, 9, N1) SMEM f32 accumulator (persists across tiles)
-    cbound_ref,  # VMEM scratch (MAXC+1, 3, tile_h, tile_w)
-    ebuf_ref,  # VMEM scratch (S, tile_h, tile_w): masked exp planes
-    cprev_ref,  # VMEM scratch (S, 3, tile_h, tile_w): per-splat prefix canvases
-    *,
+    *refs,  # [init_ref (1,3,th,tw) if has_init,] grad_ref, [dinit_ref,] scratches
     n_tx: int,
     tile_h: int,
     tile_w: int,
     background: Tuple[float, float, float],
     cap: int,
     chunk: int,
+    has_init: bool = False,
 ):
+    # grad_ref: (1, 9, N1) SMEM accumulator (persists across tiles).
+    # With has_init (a chained splat-chunk pass, see render_pallas
+    # _chunked_passes): init_ref holds the previous pass's canvas and
+    # dinit_ref receives its cotangent g * T_total (T_total = suffix
+    # transmittance through this whole chunk) so JAX chains passes.
+    if has_init:
+        init_ref, grad_ref, dinit_ref = refs[0], refs[1], refs[2]
+        cbound_ref, ebuf_ref, cprev_ref = refs[3], refs[4], refs[5]
+    else:
+        init_ref, dinit_ref = None, None
+        grad_ref = refs[0]
+        cbound_ref, ebuf_ref, cprev_ref = refs[1], refs[2], refs[3]
     t = pl.program_id(1)
     n1 = grad_ref.shape[2]
 
@@ -116,10 +125,15 @@ def _bwd_tile_kernel(
         return jnp.where(m, jnp.exp(-0.5 * quad), 0.0), qx, qy
 
     # ---- Pass A: forward replay, storing chunk-boundary canvases ----
-    bg = background
-    cbound_ref[0, 0] = jnp.full((tile_h, tile_w), bg[0], jnp.float32)
-    cbound_ref[0, 1] = jnp.full((tile_h, tile_w), bg[1], jnp.float32)
-    cbound_ref[0, 2] = jnp.full((tile_h, tile_w), bg[2], jnp.float32)
+    if has_init:
+        cbound_ref[0, 0] = init_ref[0, 0]
+        cbound_ref[0, 1] = init_ref[0, 1]
+        cbound_ref[0, 2] = init_ref[0, 2]
+    else:
+        bg = background
+        cbound_ref[0, 0] = jnp.full((tile_h, tile_w), bg[0], jnp.float32)
+        cbound_ref[0, 1] = jnp.full((tile_h, tile_w), bg[1], jnp.float32)
+        cbound_ref[0, 2] = jnp.full((tile_h, tile_w), bg[2], jnp.float32)
 
     def chunk_fwd(c, canvas):
         cr, cg, cb = canvas
@@ -221,7 +235,13 @@ def _bwd_tile_kernel(
 
         return jax.lax.fori_loop(0, S // U, bwd, T_above)
 
-    jax.lax.fori_loop(0, n_chunks, chunk_bwd, jnp.ones((tile_h, tile_w), jnp.float32))
+    T_total = jax.lax.fori_loop(
+        0, n_chunks, chunk_bwd, jnp.ones((tile_h, tile_w), jnp.float32)
+    )
+    if has_init:
+        dinit_ref[0, 0] = g0 * T_total
+        dinit_ref[0, 1] = g1 * T_total
+        dinit_ref[0, 2] = g2 * T_total
 
 
 @functools.lru_cache(maxsize=64)
@@ -235,8 +255,16 @@ def _make_screen_render(
     cap: int,
     background: Tuple[float, float, float],
     interpret: bool,
+    has_init: bool = False,
 ):
-    """Build the custom-VJP screen-space renderer for one static config."""
+    """Build the custom-VJP screen-space renderer for one static config.
+
+    With has_init the renderer takes a previous pass's padded canvas
+    [B, 3, Hp, Wp] as its first (differentiable) argument — the chained
+    splat-chunk mechanism of render_pallas._chunked_passes, made
+    differentiable: the backward kernel emits d(init) = g * T_total so JAX
+    chains cotangents across passes.
+    """
     n_tx = _cdiv(W, tile_w)
     n_ty = _cdiv(H, tile_h)
     T = n_tx * n_ty
@@ -271,7 +299,7 @@ def _make_screen_render(
             y0=arrs[11].astype(jnp.int32), y1=arrs[12].astype(jnp.int32),
         )
 
-    def fwd_only(arrs, bin_idx, cnt):
+    def fwd_only(arrs, bin_idx, cnt, init_p):
         # _render_tile_kernel expects the pre-folded table + sentinel and
         # walks the list _FWD_UNROLL entries at a time, so the idx lists
         # carry that much extra sentinel padding.
@@ -279,18 +307,29 @@ def _make_screen_render(
         bin_idx = jnp.pad(
             bin_idx, ((0, 0), (0, 0), (0, _FWD_UNROLL)), constant_values=N
         )
+        in_specs = [
+            pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, cap_pad + _FWD_UNROLL), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NFEAT, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+        ]
+        args = [cnt[:, :, None, None], bin_idx[:, :, None, :], feats_fast]
+        if has_init:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 3, tile_h, tile_w),
+                    lambda b, t: (b, 0, t // n_tx, t % n_tx),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(init_p)
         return pl.pallas_call(
             functools.partial(
                 _render_tile_kernel,
                 n_tx=n_tx, tile_h=tile_h, tile_w=tile_w, background=background,
-                unroll=_FWD_UNROLL,
+                unroll=_FWD_UNROLL, has_init=has_init,
             ),
             grid=(B, T),
-            in_specs=[
-                pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1, cap_pad + _FWD_UNROLL), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, _NFEAT, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 3, tile_h, tile_w),
                 lambda b, t: (b, 0, t // n_tx, t % n_tx),
@@ -298,55 +337,100 @@ def _make_screen_render(
             ),
             out_shape=jax.ShapeDtypeStruct((B, 3, Hp, Wp), jnp.float32),
             interpret=interpret,
-        )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats_fast)
+        )(*args)
 
-    def bwd_grads(feats, bin_idx, cnt, g_img):
-        grads = pl.pallas_call(
-            functools.partial(
-                _bwd_tile_kernel,
-                n_tx=n_tx, tile_h=tile_h, tile_w=tile_w, background=background,
-                cap=cap_pad, chunk=_CHUNK,
+    def bwd_grads(feats, bin_idx, cnt, g_img, init_p):
+        in_specs = [
+            pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, cap_pad), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NFEAT, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 3, tile_h, tile_w),
+                lambda b, t: (b, 0, t // n_tx, t % n_tx),
+                memory_space=pltpu.VMEM,
             ),
-            grid=(B, T),
-            in_specs=[
-                pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1, cap_pad), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, _NFEAT, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+        ]
+        args = [cnt[:, :, None, None], bin_idx[:, :, None, :], feats, g_img]
+        out_specs = [
+            pl.BlockSpec((1, _NGRAD, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((B, _NGRAD, N1), jnp.float32)]
+        if has_init:
+            in_specs.append(
                 pl.BlockSpec(
                     (1, 3, tile_h, tile_w),
                     lambda b, t: (b, 0, t // n_tx, t % n_tx),
                     memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, _NGRAD, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM
+                )
+            )
+            args.append(init_p)
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 3, tile_h, tile_w),
+                    lambda b, t: (b, 0, t // n_tx, t % n_tx),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shape.append(jax.ShapeDtypeStruct((B, 3, Hp, Wp), jnp.float32))
+        out = pl.pallas_call(
+            functools.partial(
+                _bwd_tile_kernel,
+                n_tx=n_tx, tile_h=tile_h, tile_w=tile_w, background=background,
+                cap=cap_pad, chunk=_CHUNK, has_init=has_init,
             ),
-            out_shape=jax.ShapeDtypeStruct((B, _NGRAD, N1), jnp.float32),
+            grid=(B, T),
+            in_specs=in_specs,
+            out_specs=out_specs if has_init else out_specs[0],
+            out_shape=out_shape if has_init else out_shape[0],
             scratch_shapes=[
                 pltpu.VMEM((max_chunks + 1, 3, tile_h, tile_w), jnp.float32),
                 pltpu.VMEM((_CHUNK, tile_h, tile_w), jnp.float32),
                 pltpu.VMEM((_CHUNK, 3, tile_h, tile_w), jnp.float32),
             ],
             interpret=interpret,
-        )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats, g_img)
-        return grads[:, :, :N]  # drop the sentinel row
+        )(*args)
+        if has_init:
+            grads, dinit = out
+            return grads[:, :, :N], dinit
+        return out[:, :, :N], None  # drop the sentinel row
 
-    @jax.custom_vjp
-    def screen_render(*arrs):
-        _, bin_idx, cnt = prep(arrs)
-        return fwd_only(arrs, bin_idx, cnt)
+    if has_init:
 
-    def screen_render_fwd(*arrs):
-        feats, bin_idx, cnt = prep(arrs)
-        return fwd_only(arrs, bin_idx, cnt), (feats, bin_idx, cnt)
+        @jax.custom_vjp
+        def screen_render(init_p, *arrs):
+            _, bin_idx, cnt = prep(arrs)
+            return fwd_only(arrs, bin_idx, cnt, init_p)
 
-    def screen_render_bwd(res, g_img):
-        feats, bin_idx, cnt = res
-        g = bwd_grads(feats, bin_idx, cnt, g_img)
-        zero = jnp.zeros((B, N), jnp.float32)
-        # (cx, cy, sxx, sxy, syy, rc, gc, bc, a) + zero grads for the
-        # integer-valued AABB floats (floor/ceil: zero derivative a.e.)
-        return tuple(g[:, i] for i in range(_NGRAD)) + (zero, zero, zero, zero)
+        def screen_render_fwd(init_p, *arrs):
+            feats, bin_idx, cnt = prep(arrs)
+            return fwd_only(arrs, bin_idx, cnt, init_p), (feats, bin_idx, cnt, init_p)
+
+        def screen_render_bwd(res, g_img):
+            feats, bin_idx, cnt, init_p = res
+            g, dinit = bwd_grads(feats, bin_idx, cnt, g_img, init_p)
+            zero = jnp.zeros((B, N), jnp.float32)
+            return (dinit,) + tuple(g[:, i] for i in range(_NGRAD)) + (
+                zero, zero, zero, zero
+            )
+
+    else:
+
+        @jax.custom_vjp
+        def screen_render(*arrs):
+            _, bin_idx, cnt = prep(arrs)
+            return fwd_only(arrs, bin_idx, cnt, None)
+
+        def screen_render_fwd(*arrs):
+            feats, bin_idx, cnt = prep(arrs)
+            return fwd_only(arrs, bin_idx, cnt, None), (feats, bin_idx, cnt)
+
+        def screen_render_bwd(res, g_img):
+            feats, bin_idx, cnt = res
+            g, _ = bwd_grads(feats, bin_idx, cnt, g_img, None)
+            zero = jnp.zeros((B, N), jnp.float32)
+            # (cx, cy, sxx, sxy, syy, rc, gc, bc, a) + zero grads for the
+            # integer-valued AABB floats (floor/ceil: zero derivative a.e.)
+            return tuple(g[:, i] for i in range(_NGRAD)) + (zero, zero, zero, zero)
 
     screen_render.defvjp(screen_render_fwd, screen_render_bwd)
     return screen_render
@@ -392,14 +476,33 @@ def render_pallas_diff(
                 break
 
     p = codec.preprocess(g9, H, W, k_sigma)
-    fn = _make_screen_render(
-        B, N, H, W, tile_h, tile_w, cap,
-        tuple(float(c) for c in background), interpret,
-    )
-    img_p = fn(
-        p.cx, p.cy, p.sxx, p.sxy, p.syy, p.rc, p.gc, p.bc, p.a,
-        p.x0.astype(jnp.float32), p.x1.astype(jnp.float32),
-        p.y0.astype(jnp.float32), p.y1.astype(jnp.float32),
-    )
+    bgt = tuple(float(c) for c in background)
+
+    def arrs_of(pc):
+        return (
+            pc.cx, pc.cy, pc.sxx, pc.sxy, pc.syy, pc.rc, pc.gc, pc.bc, pc.a,
+            pc.x0.astype(jnp.float32), pc.x1.astype(jnp.float32),
+            pc.y0.astype(jnp.float32), pc.y1.astype(jnp.float32),
+        )
+
+    # Split splats into SMEM-sized chunks (see render_pallas._chunked_passes);
+    # each pass is itself custom-VJP differentiable and passes its canvas —
+    # and, backward, the g*T_total cotangent — to the next, so jax.grad
+    # chains through arbitrarily many passes exactly.
+    from .render_pallas import _MAX_SMEM_SPLATS, _split_screen
+
+    n_chunks = max(1, _cdiv(N, _MAX_SMEM_SPLATS))
+    bounds = [i * N // n_chunks for i in range(n_chunks + 1)]
+    img_p = None
+    for i in range(n_chunks):
+        pc = _split_screen(p, bounds[i], bounds[i + 1]) if n_chunks > 1 else p
+        Nc = bounds[i + 1] - bounds[i]
+        capc = min(cap, Nc)
+        fn = _make_screen_render(
+            B, Nc, H, W, tile_h, tile_w, capc, bgt, interpret,
+            has_init=img_p is not None,
+        )
+        img_p = fn(*arrs_of(pc)) if img_p is None else fn(img_p, *arrs_of(pc))
+
     img = jnp.transpose(img_p[:, :, :H, :W], (0, 2, 3, 1))
     return img[0] if squeeze else img

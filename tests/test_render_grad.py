@@ -94,3 +94,37 @@ def test_more_splats_than_chunk(key):
     gp = jax.grad(loss_p)(g9)
     go = jax.grad(loss_o)(g9)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(go), rtol=2e-3, atol=1e-7)
+
+
+def test_chunked_passes_grads_match_oracle(monkeypatch, key):
+    """Force the SMEM splat-chunking path (multiple chained custom-VJP
+    passes) and check both the forward image and jax.grad against the
+    unchunked oracle: the g*T_total init-canvas cotangent must chain
+    exactly across passes."""
+    from ggs_tpu.ops import render_pallas as rp
+
+    H = W = 24
+    g = genome.new_population(key, 1, 13, H, W, 1.0, 0.4)
+    g9 = codec.genome_to_renderer(g)
+    tgt = oracle.render_xla(
+        codec.genome_to_renderer(
+            genome.new_population(jax.random.PRNGKey(7), 1, 13, H, W, 1.0, 0.4)
+        ),
+        H, W,
+    )
+
+    monkeypatch.setattr(rp, "_MAX_SMEM_SPLATS", 5)  # 13 splats -> 3 passes
+
+    def loss_pallas(g9):
+        return jnp.mean((render_pallas_diff(g9, H, W, tile_h=8, interpret=True) - tgt) ** 2)
+
+    def loss_oracle(g9):
+        return jnp.mean((oracle.render_xla(g9, H, W) - tgt) ** 2)
+
+    img = render_pallas_diff(g9, H, W, tile_h=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(oracle.render_xla(g9, H, W)), atol=1e-6
+    )
+    ga = jax.grad(loss_pallas)(g9)
+    gb = jax.grad(loss_oracle)(g9)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-7)
