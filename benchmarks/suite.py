@@ -86,7 +86,8 @@ def bench_sa(quick: bool):
     st = sa.init(jax.random.PRNGKey(0), obj, tgt, None, gnm)
     run = sa.make_run_block(obj, cfg, gnm)
     iters = 50 if quick else 200
-    st, _ = run(st, tgt, None, iters)  # compile at the same static length
+    st, m = run(st, tgt, None, iters)  # compile at the same static length
+    _sync(m)  # the axon tunnel dispatches async: un-synced warmup bleeds into the timing
     t0 = time.perf_counter()
     st, m = run(st, tgt, None, iters)
     _sync(m)
@@ -117,7 +118,8 @@ def bench_ga(quick: bool):
     st = ga.init(jax.random.PRNGKey(0), obj, tgt, None, cfg, gnm)
     run = ga.make_run_block(obj, cfg, gnm)
     iters = 20 if quick else 100
-    st, _ = run(st, tgt, None, iters)  # compile at the same static length
+    st, m = run(st, tgt, None, iters)  # compile at the same static length
+    _sync(m)  # the axon tunnel dispatches async: un-synced warmup bleeds into the timing
     t0 = time.perf_counter()
     st, m = run(st, tgt, None, iters)
     _sync(m)
@@ -150,7 +152,8 @@ def bench_grad(quick: bool):
     state = gradient.init_state(opt, g0)
     run = gradient.make_run_block(obj, gnm, cfg)
     iters = 5 if quick else 20
-    state, _ = run(state, tgt, None, iters)  # compile at the same static length
+    state, m = run(state, tgt, None, iters)  # compile at the same static length
+    _sync(m)  # the axon tunnel dispatches async: un-synced warmup bleeds into the timing
     t0 = time.perf_counter()
     state, m = run(state, tgt, None, iters)
     _sync(m)
@@ -184,7 +187,8 @@ def bench_memetic(quick: bool):
         obj, cfg, gnm, GradConfig(lr=1e-2), refine_every=10, refine_steps=3
     )
     iters = 10 if quick else 50
-    st, _ = run(st, tgt, None, iters)  # compile at the same static length
+    st, m = run(st, tgt, None, iters)  # compile at the same static length
+    _sync(m)  # the axon tunnel dispatches async: un-synced warmup bleeds into the timing
     t0 = time.perf_counter()
     st, m = run(st, tgt, None, iters)
     _sync(m)
@@ -199,12 +203,41 @@ def bench_memetic(quick: bool):
     ]
 
 
+def bench_big(quick: bool):
+    """Single-chip slice of the multi-host headline config (pop 4096 x 10k
+    splats -> 1024^2, BASELINE.md): 10k splats exceed one SMEM pass, so this
+    exercises the chained splat-chunk path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggs_tpu.models import genome
+    from ggs_tpu.ops import codec
+    from ggs_tpu.ops.render_pallas import fitness_pallas
+
+    H = W = 512 if quick else 1024
+    N = 2000 if quick else 10_000
+    B = 2 if quick else 4
+    g9 = codec.genome_to_renderer(genome.new_population(jax.random.PRNGKey(0), B, N, H, W))
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3), dtype=jnp.float32)
+    f = jax.jit(lambda g: fitness_pallas(g, tgt, None, H, W))
+    dt = _time(lambda: f(g9), 2 if quick else 5)
+    return [
+        {
+            "config": "big-10k-1024",
+            "metric": "candidate renders/s/chip",
+            "value": round(B / dt, 2),
+            "detail": f"B={B} N={N} {H}x{W} fused fitness (chunked passes)",
+        }
+    ]
+
+
 BENCHES = {
     "render": bench_render,
     "sa": bench_sa,
     "ga": bench_ga,
     "grad": bench_grad,
     "memetic": bench_memetic,
+    "big": bench_big,
 }
 
 
