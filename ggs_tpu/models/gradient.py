@@ -43,6 +43,11 @@ def make_loss_fn(obj: Objective, gnm: GenomeConfig):
 
         impl = render_mod._default_impl()
 
+    if impl == "pallas" and obj.mesh is not None and obj.pspec_imgs is not None:
+        sharded = _make_sharded_loss_fn(obj)
+        if sharded is not None:
+            return sharded
+
     def loss_fn(g_axes, target, weight_mask):
         g9 = codec.genome_to_renderer(g_axes)
         if impl == "pallas":
@@ -51,6 +56,7 @@ def make_loss_fn(obj: Objective, gnm: GenomeConfig):
             imgs = render_pallas_diff(
                 g9, obj.H, obj.W, k_sigma=obj.k_sigma,
                 background=tuple(obj.background), bin_capacity=obj.bin_capacity,
+                interpret=obj.interpret,
             )
         else:
             imgs = oracle.render_xla(
@@ -60,6 +66,82 @@ def make_loss_fn(obj: Objective, gnm: GenomeConfig):
             imgs, target, weight_mask=weight_mask,
             boost_only=obj.boost_only, boost_beta=obj.boost_beta,
         )
+        return jnp.mean(fits), fits
+
+    return loss_fn
+
+
+def _make_sharded_loss_fn(obj: Objective):
+    """Tile-sharded differentiable loss over the (pop, tile) mesh.
+
+    The gradient-all-reduce design of SURVEY.md §2.4: genomes shard over
+    the pop axis and canvas ROWS over the tile axis; each device runs the
+    custom-VJP Pallas render on its row slab (render_pallas_diff with a
+    y_origin shift — exact, see its docstring) and the weighted-SSE
+    partials psum over the tile axis. Under jax.grad, shard_map transposes
+    the replicated-genome use into exactly the splat-gradient psum over
+    the tile axis the north star asks for. Returns None when the canvas
+    doesn't divide the mesh (caller falls back to the unsharded loss).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    mesh = obj.mesh
+    pop_ax, tile_ax = obj.pspec_imgs[0], obj.pspec_imgs[1]
+    ntile = mesh.shape[tile_ax]
+    H, W = obj.H, obj.W
+    if H % ntile != 0:
+        return None
+    Hs = H // ntile
+    hw3 = jnp.float32(H * W * 3)
+
+    from ..ops.render_grad import render_pallas_diff
+
+    def loss_fn(g_axes, target, weight_mask):
+        def local(g_ax, tgt_rows, w_rows):
+            g9 = codec.genome_to_renderer(g_ax)
+            y0 = (jax.lax.axis_index(tile_ax) * Hs).astype(jnp.int32)
+            imgs = render_pallas_diff(
+                g9, H, W,
+                k_sigma=obj.k_sigma,
+                background=tuple(obj.background),
+                bin_capacity=obj.bin_capacity,
+                interpret=obj.interpret,
+                y_origin=y0,
+                out_rows=Hs,
+            )
+            d2 = jnp.sum((imgs - tgt_rows[None]) ** 2, axis=-1)  # [Bl, Hs, W]
+            if w_rows is None:
+                num = jnp.sum(d2, axis=(1, 2))
+                denom = hw3
+            elif obj.boost_only:
+                w_eff = 1.0 + obj.boost_beta * jnp.clip(
+                    w_rows.astype(jnp.float32), 0.0, 1.0
+                )
+                num = jnp.sum(d2 * w_eff[None], axis=(1, 2))
+                mean_w = jax.lax.psum(jnp.sum(w_eff), tile_ax) / (H * W)
+                denom = (mean_w + 1e-12) * hw3
+            else:
+                w_eff = w_rows.astype(jnp.float32)
+                num = jnp.sum(d2 * w_eff[None], axis=(1, 2))
+                denom = jax.lax.psum(jnp.sum(w_eff), tile_ax) + 1e-12
+            return jax.lax.psum(num, tile_ax) / denom
+
+        if weight_mask is None:
+            fits = jax.shard_map(
+                lambda g, t: local(g, t, None),
+                mesh=mesh,
+                in_specs=(P(pop_ax), P(tile_ax)),
+                out_specs=P(pop_ax),
+                check_vma=False,  # pallas_call can't declare varying-axes metadata
+            )(g_axes, target)
+        else:
+            fits = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(pop_ax), P(tile_ax), P(tile_ax)),
+                out_specs=P(pop_ax),
+                check_vma=False,
+            )(g_axes, target, weight_mask)
         return jnp.mean(fits), fits
 
     return loss_fn

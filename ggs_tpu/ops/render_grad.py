@@ -446,6 +446,8 @@ def render_pallas_diff(
     tile_h: Optional[int] = None,
     tile_w: int = 128,
     interpret: bool = False,
+    y_origin: Optional[jnp.ndarray] = None,
+    out_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """Differentiable Pallas render: [B, N, 9] (or [N, 9]) -> [B, H, W, 3].
 
@@ -458,6 +460,14 @@ def render_pallas_diff(
     comfortably — taller tiles mean fewer (tile, splat) pairs and were
     measured ~2x faster for 2k splats at 512^2, but the boundary-canvas
     scratch grows with ceil(cap/32)*tile_h*tile_w.
+
+    (y_origin, out_rows): render only `out_rows` canvas rows starting at
+    global row y_origin — the tile-sharded building block: splats are
+    preprocessed against the global (H, W) canvas then shifted (exact in
+    f32, see render_pallas.fitness_pallas_partial), so a shard_map over
+    row slabs plus a psum of the loss reproduces the full-canvas gradient
+    with splat-grad all-reduce over the tile mesh axis (SURVEY.md §2.4).
+    The shift is differentiable: d(cy - y0)/d(cy) = 1.
     """
     squeeze = g9.ndim == 2
     if squeeze:
@@ -476,6 +486,14 @@ def render_pallas_diff(
                 break
 
     p = codec.preprocess(g9, H, W, k_sigma)
+    Hs = H if out_rows is None else out_rows
+    if y_origin is not None:
+        yo_i = y_origin.astype(p.y0.dtype)
+        p = p._replace(
+            cy=p.cy - y_origin.astype(jnp.float32),
+            y0=p.y0 - yo_i,
+            y1=p.y1 - yo_i,
+        )
     bgt = tuple(float(c) for c in background)
 
     def arrs_of(pc):
@@ -499,10 +517,10 @@ def render_pallas_diff(
         Nc = bounds[i + 1] - bounds[i]
         capc = min(cap, Nc)
         fn = _make_screen_render(
-            B, Nc, H, W, tile_h, tile_w, capc, bgt, interpret,
+            B, Nc, Hs, W, tile_h, tile_w, capc, bgt, interpret,
             has_init=img_p is not None,
         )
         img_p = fn(*arrs_of(pc)) if img_p is None else fn(img_p, *arrs_of(pc))
 
-    img = jnp.transpose(img_p[:, :, :H, :W], (0, 2, 3, 1))
+    img = jnp.transpose(img_p[:, :, :Hs, :W], (0, 2, 3, 1))
     return img[0] if squeeze else img

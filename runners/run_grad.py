@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--init-from", default="", help="checkpoint/.npy genome to warm-start from")
+    p.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--pop-shards", type=int, default=1, help="mesh: genome-batch shards")
+    p.add_argument("--tile-shards", type=int, default=1, help="mesh: canvas-row shards (grads psum over this axis)")
     return p
 
 
@@ -47,7 +50,18 @@ def main(argv=None) -> None:
     H, W = codec.choose_work_size(H_out, W_out, max_side=args.work_max_side)
     print(f"target {H_out}x{W_out} -> work {H}x{W}")
 
-    obj = Objective(H=H, W=W, k_sigma=args.k_sigma, impl="xla")
+    obj = Objective(H=H, W=W, k_sigma=args.k_sigma, impl=args.impl)
+    if args.pop_shards * args.tile_shards > 1:
+        import jax
+
+        from ggs_tpu.parallel import mesh as mesh_mod
+        from ggs_tpu.parallel import shard as shard_mod
+
+        mesh = mesh_mod.make_mesh(
+            args.pop_shards, args.tile_shards,
+            jax.devices()[: args.pop_shards * args.tile_shards],
+        )
+        obj = shard_mod.sharded_objective(obj, mesh)
     gnm = GenomeConfig(n_splats=args.n_splats)
     cfg = GradConfig(steps=args.steps, lr=args.lr)
     mask_cfg = MaskConfig(strength=args.mask_strength)

@@ -140,3 +140,37 @@ def test_fitness_pallas_partial_row_slabs_sum_to_full(key):
     np.testing.assert_allclose(
         np.asarray(parts[0] + parts[1]), np.asarray(full), rtol=1e-6, atol=1e-7
     )
+
+
+def test_tile_sharded_gradients_match_unsharded(key):
+    """The tile-sharded differentiable loss (row-slab custom-VJP renders,
+    loss psum over the tile axis) must produce the same value and splat
+    gradients as the unsharded Pallas loss: shard_map's transpose performs
+    the splat-grad all-reduce over the tile axis (SURVEY.md §2.4)."""
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+
+    m = mesh_mod.make_mesh(2, 4, cpu_devices(8))
+    gnm = GenomeConfig(n_splats=8, min_scale=1.0, max_scale=0.3)
+    pop = genome.new_population(key, 2, 8, H, W, GNM.min_scale, GNM.max_scale)
+    target = _target(jax.random.PRNGKey(2004))
+    wm = jnp.linspace(0.3, 1.0, H)[:, None] * jnp.ones((H, W))
+
+    obj_ref = OBJ._replace(impl="pallas", interpret=True)
+    obj_sh = shard.sharded_objective(obj_ref, m)
+
+    loss_ref = gradient.make_loss_fn(obj_ref, gnm)
+    loss_sh = gradient.make_loss_fn(obj_sh, gnm)
+
+    for mask in (None, wm):
+        (l0, f0), g0 = jax.value_and_grad(loss_ref, has_aux=True)(pop, target, mask)
+        (l1, f1), g1 = jax.jit(
+            jax.value_and_grad(loss_sh, has_aux=True)
+        )(
+            jax.device_put(pop, mesh_mod.pop_sharding(m)),
+            shard.place_target(target, m),
+            shard.place_mask(mask, m),
+        )
+        np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=2e-4, atol=1e-6)
