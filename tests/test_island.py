@@ -99,3 +99,31 @@ def test_island_ga_sharded_runs(key):
     st, metrics = run(st, target_s, None, 10)
     assert np.all(np.isfinite(np.asarray(metrics)))
     assert np.all(np.diff(np.asarray(metrics)[:, 0]) <= 1e-9)
+
+
+def test_island_block_with_fused_sharded_evaluate(key):
+    """The island run block must compose with the shard_map'd fused
+    fitness (mesh + impl=pallas): per-island selection over fused-path
+    fitness values, finite metrics, state stays sharded."""
+    import numpy as np
+
+    from ggs_tpu.ops import objective
+    from ggs_tpu.parallel import mesh as mesh_mod
+    from ggs_tpu.parallel import shard
+
+    from conftest import cpu_devices
+
+    m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
+    obj = shard.sharded_objective(
+        objective.Objective(H=H, W=W, impl="pallas", interpret=True), m
+    )
+    target = _target(jax.random.PRNGKey(3001))
+    cfg = GAConfig(pop_size=8, generations=8, elite_k=1)
+    st = ga.init(jax.random.PRNGKey(0), obj, target, None, cfg, GNM)
+    st = shard.place_ga_state(st, m)
+    best0 = float(st.best_fit)  # read before run(): the block donates state
+    run = island.make_run_block(obj, cfg, GNM, 4, 2, 1, m, None, None)
+    st2, metrics = run(st, shard.place_target(target, m), None, 3)
+    jax.block_until_ready(st2.pop)
+    assert np.isfinite(np.asarray(metrics)).all()
+    assert float(st2.best_fit) <= best0 + 1e-9

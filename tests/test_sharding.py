@@ -174,3 +174,23 @@ def test_tile_sharded_gradients_match_unsharded(key):
         np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=2e-5, atol=1e-7)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=2e-4, atol=1e-6)
+
+
+def test_fused_sharded_with_chunked_eval(key):
+    """obj.chunk wraps eval in lax.map; the fused shard_map path must
+    compose with it (and still match the unsharded image route)."""
+    m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
+    pop = genome.new_population(key, 8, 8, H, W, GNM.min_scale, GNM.max_scale)
+    target = _target(jax.random.PRNGKey(2005))
+    wm = jnp.linspace(0.3, 1.0, H)[:, None] * jnp.ones((H, W))
+
+    ref = objective.evaluate(OBJ, pop, target, wm)
+    obj_c = shard.sharded_objective(
+        OBJ._replace(impl="pallas", interpret=True, chunk=4), m
+    )
+    got = jax.jit(lambda p, t, w: objective.evaluate(obj_c, p, t, w))(
+        jax.device_put(pop, mesh_mod.pop_sharding(m)),
+        shard.place_target(target, m),
+        shard.place_mask(wm, m),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6)
