@@ -214,8 +214,10 @@ def bench_big(quick: bool):
     from ggs_tpu.ops import codec
     from ggs_tpu.ops.render_pallas import fitness_pallas
 
+    # quick still uses N > _MAX_SMEM_SPLATS (8000) so both modes exercise
+    # the chained splat-chunk path this config exists to cover.
     H = W = 512 if quick else 1024
-    N = 2000 if quick else 10_000
+    N = 8500 if quick else 10_000
     B = 2 if quick else 4
     g9 = codec.genome_to_renderer(genome.new_population(jax.random.PRNGKey(0), B, N, H, W))
     tgt = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3), dtype=jnp.float32)

@@ -88,11 +88,11 @@ def _make_sharded_loss_fn(obj: Objective):
     mesh = obj.mesh
     pop_ax, tile_ax = obj.pspec_imgs[0], obj.pspec_imgs[1]
     ntile = mesh.shape[tile_ax]
+    npop = mesh.shape[pop_ax]
     H, W = obj.H, obj.W
     if H % ntile != 0:
         return None
     Hs = H // ntile
-    hw3 = jnp.float32(H * W * 3)
 
     from ..ops.render_grad import render_pallas_diff
 
@@ -110,36 +110,35 @@ def _make_sharded_loss_fn(obj: Objective):
                 out_rows=Hs,
             )
             d2 = jnp.sum((imgs - tgt_rows[None]) ** 2, axis=-1)  # [Bl, Hs, W]
-            if w_rows is None:
+            w_eff, denom = fitness.sharded_weff_denom(
+                w_rows, obj.boost_only, obj.boost_beta, H, W, tile_ax
+            )
+            if w_eff is None:
                 num = jnp.sum(d2, axis=(1, 2))
-                denom = hw3
-            elif obj.boost_only:
-                w_eff = 1.0 + obj.boost_beta * jnp.clip(
-                    w_rows.astype(jnp.float32), 0.0, 1.0
-                )
-                num = jnp.sum(d2 * w_eff[None], axis=(1, 2))
-                mean_w = jax.lax.psum(jnp.sum(w_eff), tile_ax) / (H * W)
-                denom = (mean_w + 1e-12) * hw3
             else:
-                w_eff = w_rows.astype(jnp.float32)
                 num = jnp.sum(d2 * w_eff[None], axis=(1, 2))
-                denom = jax.lax.psum(jnp.sum(w_eff), tile_ax) + 1e-12
             return jax.lax.psum(num, tile_ax) / denom
 
+        # Genome batches that don't divide the pop axis (e.g. fit_adam's
+        # default single genome) run replicated over pop; the psum'd fits
+        # are identical on every device, so replicated output is sound.
+        B = g_axes.shape[0]
+        g_spec = P(pop_ax) if B % npop == 0 else P()
+        out_spec = g_spec
         if weight_mask is None:
             fits = jax.shard_map(
                 lambda g, t: local(g, t, None),
                 mesh=mesh,
-                in_specs=(P(pop_ax), P(tile_ax)),
-                out_specs=P(pop_ax),
+                in_specs=(g_spec, P(tile_ax)),
+                out_specs=out_spec,
                 check_vma=False,  # pallas_call can't declare varying-axes metadata
             )(g_axes, target)
         else:
             fits = jax.shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(P(pop_ax), P(tile_ax), P(tile_ax)),
-                out_specs=P(pop_ax),
+                in_specs=(g_spec, P(tile_ax), P(tile_ax)),
+                out_specs=out_spec,
                 check_vma=False,
             )(g_axes, target, weight_mask)
         return jnp.mean(fits), fits

@@ -182,6 +182,8 @@ class ApngWriter:
         self.frames = 0
 
     def add(self, arr) -> None:
+        if self._h is None:
+            raise ValueError("ApngWriter is closed")
         a = _as_u8(arr)
         assert a.shape[:2] == self._shape, f"{a.shape[:2]} != {self._shape}"
         rc = self._lib.ggs_apng_add(

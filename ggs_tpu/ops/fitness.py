@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -46,3 +47,25 @@ def fitness_from_images(
     num = jnp.sum(dif2 * w, axis=(1, 2, 3))
     den = jnp.sum(w, axis=(1, 2, 3)) + 1e-12
     return num / den
+
+
+def sharded_weff_denom(w_rows, boost_only, boost_beta, H, W, tile_axis):
+    """Per-device (w_eff rows, scalar denominator) for the tile-sharded
+    fitness/loss paths (canvas rows sharded over `tile_axis`).
+
+    One home for the three scoring-mode reductions of modules/
+    fitness.py:18-31 so the fused-sharded fitness (ops/objective.py) and
+    the tile-sharded differentiable loss (models/gradient.py) cannot
+    drift: returns w_eff over this device's rows and the GLOBAL
+    denominator (psum'd over the tile axis where mask-dependent). Callers
+    divide their psum'd sum(dif^2 * w_eff) partials by it.
+    """
+    hw3 = jnp.float32(H * W * 3)
+    if w_rows is None:
+        return None, hw3
+    if boost_only:
+        w_eff = 1.0 + boost_beta * jnp.clip(w_rows.astype(jnp.float32), 0.0, 1.0)
+        mean_w = jax.lax.psum(jnp.sum(w_eff), tile_axis) / jnp.float32(H * W)
+        return w_eff, (mean_w + 1e-12) * hw3
+    w_eff = w_rows.astype(jnp.float32)
+    return w_eff, jax.lax.psum(jnp.sum(w_eff), tile_axis) + 1e-12

@@ -170,27 +170,18 @@ def _evaluate_fused_sharded(
         return None
     Hs = H // ntile
     tile_h = next((t for t in (64, 32, 16, 8) if Hs % t == 0), None)
-    tile_w = next((t for t in (128, 256) if W % t == 0), 128)
+    tile_w = 128  # the lane width; wider tiles measured slower (docs/DESIGN.md)
     if tile_h is None:
         return None
-
-    boost_only = obj.boost_only
-    boost_beta = obj.boost_beta
-    hw3 = jnp.float32(H * W * 3)
 
     def local(g_ax, tgt_rows, w_rows):
         g9 = codec.genome_to_renderer(g_ax)
         y0 = (jax.lax.axis_index(tile_ax) * Hs).astype(jnp.int32)
-        if w_rows is None:
+        w_eff, denom = fitness.sharded_weff_denom(
+            w_rows, obj.boost_only, obj.boost_beta, H, W, tile_ax
+        )
+        if w_eff is None:
             w_eff = jnp.ones((Hs, W), jnp.float32)
-            denom = hw3
-        elif boost_only:
-            w_eff = 1.0 + boost_beta * jnp.clip(w_rows.astype(jnp.float32), 0.0, 1.0)
-            mean_w = jax.lax.psum(jnp.sum(w_eff), tile_ax) / hw3 * 3.0
-            denom = (mean_w + 1e-12) * hw3
-        else:
-            w_eff = w_rows.astype(jnp.float32)
-            denom = jax.lax.psum(jnp.sum(w_eff), tile_ax) + 1e-12
         num = render_pallas.fitness_pallas_partial(
             g9,
             tgt_rows,
@@ -204,6 +195,7 @@ def _evaluate_fused_sharded(
             tile_h=tile_h,
             tile_w=tile_w,
             interpret=obj.interpret,
+            precision=obj.precision,
         )
         return jax.lax.psum(num, tile_ax) / denom
 

@@ -477,9 +477,15 @@ def render_pallas_diff(
     cap = N if bin_capacity is None else min(bin_capacity, N)
     if tile_h is None:
         budget = 10 * 1024 * 1024  # leave VMEM headroom for blocks/regs
+        mc = _cdiv(cap, _CHUNK)
         tile_h = 8
+        # With a row slab (out_rows), taller-than-slab tiles would render
+        # (and backprop through) pure padding — restrict to its divisors.
+        # (For a full canvas, padding is at most one tile row: keep the
+        # tallest tile that fits the VMEM budget.)
         for th in (64, 32, 16):
-            mc = _cdiv(_cdiv(cap, _CHUNK) * _CHUNK, _CHUNK)
+            if out_rows is not None and (out_rows < th or out_rows % th != 0):
+                continue
             scratch = th * tile_w * 4 * ((mc + 1) * 3 + 3 * _CHUNK + _CHUNK)
             if scratch <= budget:
                 tile_h = th

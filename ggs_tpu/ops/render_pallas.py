@@ -578,7 +578,7 @@ def _fitness_partials(
     jax.jit,
     static_argnames=(
         "H", "W", "k_sigma", "background", "bin_capacity", "tile_h", "tile_w",
-        "interpret", "unroll",
+        "interpret", "unroll", "precision",
     ),
 )
 def fitness_pallas_partial(
@@ -595,6 +595,7 @@ def fitness_pallas_partial(
     tile_w: int = 128,
     interpret: bool = False,
     unroll: int = 8,
+    precision: str = "highest",  # "highest" (f32) | "bf16" (fast mode)
 ) -> jnp.ndarray:
     """Row-slab partial of the fused fitness: sum(dif^2 * w) over the slab.
 
@@ -628,7 +629,8 @@ def fitness_pallas_partial(
     )
     return _fitness_partials(
         p_last, target_slab.astype(jnp.float32), w_slab.astype(jnp.float32),
-        Hs, W, tile_h, tile_w, bgt, jnp.float32, unroll, interpret,
+        Hs, W, tile_h, tile_w, bgt,
+        jnp.bfloat16 if precision == "bf16" else jnp.float32, unroll, interpret,
         bin_capacity, init_p,
     )
 

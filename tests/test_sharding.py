@@ -156,13 +156,12 @@ def test_tile_sharded_gradients_match_unsharded(key):
     target = _target(jax.random.PRNGKey(2004))
     wm = jnp.linspace(0.3, 1.0, H)[:, None] * jnp.ones((H, W))
 
-    obj_ref = OBJ._replace(impl="pallas", interpret=True)
-    obj_sh = shard.sharded_objective(obj_ref, m)
+    for mask, boost in ((None, False), (wm, False), (wm, True)):
+        obj_ref = OBJ._replace(impl="pallas", interpret=True, boost_only=boost)
+        obj_sh = shard.sharded_objective(obj_ref, m)
+        loss_ref = gradient.make_loss_fn(obj_ref, gnm)
+        loss_sh = gradient.make_loss_fn(obj_sh, gnm)
 
-    loss_ref = gradient.make_loss_fn(obj_ref, gnm)
-    loss_sh = gradient.make_loss_fn(obj_sh, gnm)
-
-    for mask in (None, wm):
         (l0, f0), g0 = jax.value_and_grad(loss_ref, has_aux=True)(pop, target, mask)
         (l1, f1), g1 = jax.jit(
             jax.value_and_grad(loss_sh, has_aux=True)
@@ -174,6 +173,19 @@ def test_tile_sharded_gradients_match_unsharded(key):
         np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=2e-5, atol=1e-7)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=2e-4, atol=1e-6)
+
+    # Batch that doesn't divide the pop axis (fit_adam's default single
+    # genome): runs replicated over pop instead of erroring.
+    one = pop[:1]
+    obj_sh = shard.sharded_objective(OBJ._replace(impl="pallas", interpret=True), m)
+    loss_sh = gradient.make_loss_fn(obj_sh, gnm)
+    loss_ref = gradient.make_loss_fn(OBJ._replace(impl="pallas", interpret=True), gnm)
+    (l0, _), g0 = jax.value_and_grad(loss_ref, has_aux=True)(one, target, None)
+    (l1, _), g1 = jax.jit(jax.value_and_grad(loss_sh, has_aux=True))(
+        one, shard.place_target(target, m), None
+    )
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=2e-4, atol=1e-6)
 
 
 def test_fused_sharded_with_chunked_eval(key):
