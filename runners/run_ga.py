@@ -135,6 +135,7 @@ def main(argv=None) -> None:
 
     # Full-resolution export (run_ggs.py:64-77): rescale the genome, render once
     import jax.numpy as jnp
+    import numpy as np
 
     sH, sW = H_out / float(H), W_out / float(W)
     best_full = codec.scale_genome_pixels_anisotropic(jnp.asarray(best), sH=sH, sW=sW)
@@ -142,6 +143,10 @@ def main(argv=None) -> None:
     final = render.render_splats(g9[None], H_out, W_out, k_sigma=args.k_sigma, impl=args.impl)[0]
     out_path = os.path.join(args.output_dir, "ga_splats.png")
     io_mod.save_image_u8(final, out_path)
+    # Save the genome itself, not just pixels (the reference only ever
+    # saved a rendered PNG, run_ggs.py:69-77 — losing the parameters):
+    # reload with np.load for full-res re-render or warm starts.
+    np.save(os.path.join(args.output_dir, "ga_best_genome.npy"), np.asarray(best))
     print(f"Saved full resolution result as {out_path}")
 
     if save_video:

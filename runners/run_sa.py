@@ -105,6 +105,7 @@ def main(argv=None) -> None:
     print("SA Best MSE:", best_fit)
 
     import jax.numpy as jnp
+    import numpy as np
 
     sH, sW = H_out / float(H), W_out / float(W)
     best_full = codec.scale_genome_pixels_anisotropic(jnp.asarray(best), sH=sH, sW=sW)
@@ -112,6 +113,10 @@ def main(argv=None) -> None:
     final = render.render_splats(g9[None], H_out, W_out, k_sigma=args.k_sigma, impl=args.impl)[0]
     out_path = os.path.join(args.output_dir, "sa_splats.png")
     io_mod.save_image_u8(final, out_path)
+    # Save the genome itself, not just pixels (the reference only ever
+    # saved a rendered PNG, run_ggs.py:69-77 — losing the parameters):
+    # reload with np.load for full-res re-render or warm starts.
+    np.save(os.path.join(args.output_dir, "sa_best_genome.npy"), np.asarray(best))
     print(f"Saved full-resolution SA result as {out_path}")
 
     if save_video:
