@@ -115,3 +115,24 @@ def test_chunked_passes_bitexact(monkeypatch, key):
     np.testing.assert_array_equal(np.asarray(f_chunk), np.asarray(f_one))
     rp.render_pallas.clear_cache()
     rp.fitness_pallas.clear_cache()
+
+
+def test_odd_resolution_matches_oracle(key):
+    """Non-tile-aligned canvases (H, W not multiples of the tile) render
+    via padding + slice and must match the oracle (float tolerance on the
+    CPU interpreter; bit-exact when compiled on TPU like the aligned
+    cases)."""
+    from ggs_tpu.ops import render_pallas as rp
+
+    H, W = 75, 131
+    g = genome.new_population(key, 2, 12, H, W, 1.0, 0.4)
+    g9 = codec.genome_to_renderer(g)
+    a = rp.render_pallas(g9, H, W, tile_h=16, tile_w=128, interpret=True)
+    b = oracle.render_xla(g9, H, W)
+    assert a.shape == (2, H, W, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    tgt = jnp.clip(b[0] + 0.03, 0, 1)
+    f_img = jnp.mean((b - tgt[None]) ** 2, axis=(1, 2, 3))
+    f_fused = rp.fitness_pallas(g9, tgt, None, H, W, tile_h=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(f_fused), np.asarray(f_img), rtol=5e-5)
