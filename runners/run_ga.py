@@ -132,6 +132,10 @@ def main(argv=None) -> None:
         profile_dir=args.profile_dir,
     )
     print("Best MSE:", best_fit)
+    if best_fit > 0 and args.metric == "mse":
+        import math
+
+        print(f"PSNR: {-10.0 * math.log10(best_fit):.2f} dB")
 
     # Full-resolution export (run_ggs.py:64-77): rescale the genome, render once
     import jax.numpy as jnp

@@ -82,6 +82,10 @@ def main(argv=None) -> None:
         weight_mask=wm, seed=args.seed, log_every=args.log_every,
     )
     print("Final loss:", best_loss)
+    if best_loss > 0:
+        import math
+
+        print(f"PSNR: {-10.0 * math.log10(best_loss):.2f} dB")
 
     curves_mod.save_loss_curve_png(
         {"loss": curve}, os.path.join(args.output_dir, "grad_loss.png"),

@@ -103,6 +103,10 @@ def main(argv=None) -> None:
         resume_from=args.resume,
     )
     print("SA Best MSE:", best_fit)
+    if best_fit > 0:
+        import math
+
+        print(f"PSNR: {-10.0 * math.log10(best_fit):.2f} dB")
 
     import jax.numpy as jnp
     import numpy as np
