@@ -80,6 +80,9 @@ def main() -> None:
                 "value": round(renders_per_s, 2),
                 "unit": "renders/s/chip",
                 "vs_baseline": round(renders_per_s / 10_000.0, 4),
+                # the 10k target is specified for v5p (BASELINE.md); this
+                # records what the attached chip actually is
+                "hardware": str(jax.devices()[0].device_kind),
             }
         )
     )
