@@ -102,7 +102,7 @@ def _bwd_tile_kernel(
     cnt = cnt_ref[0, 0, 0, 0]
     n_chunks = pl.cdiv(cnt, chunk)
     S = chunk
-    U = 4  # static unroll of the replay/backward walks (S % U == 0);
+    U = 8  # static unroll of the replay/backward walks (S % U == 0);
     # overshooting cnt inside a chunk lands on the sentinel splat
     # (alpha 0) whose contributions and grads are zero (grad row N is
     # dropped by the caller), so unrolled steps need no bounds checks.
