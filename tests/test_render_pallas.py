@@ -136,3 +136,50 @@ def test_odd_resolution_matches_oracle(key):
     f_img = jnp.mean((b - tgt[None]) ** 2, axis=(1, 2, 3))
     f_fused = rp.fitness_pallas(g9, tgt, None, H, W, tile_h=16, interpret=True)
     np.testing.assert_allclose(np.asarray(f_fused), np.asarray(f_img), rtol=5e-5)
+
+
+def test_adversarial_genomes_match_oracle(key):
+    """Edge-case splats — alpha exactly 0/255, min/max scales, centers on
+    the [0,1] boundary, extreme rotations — through the kernel vs oracle."""
+    H, W = 40, 131
+    N = 14
+    g = genome.new_population(key, 1, N, H, W, 1.0, 0.5)[0]
+    g = g.at[0, 8].set(0.0)      # fully transparent
+    g = g.at[1, 8].set(255.0)    # fully opaque
+    g = g.at[2, 0:2].set(0.0)    # corner center
+    g = g.at[3, 0:2].set(1.0)    # opposite corner
+    g = g.at[4, 2:4].set(jnp.log(1e-3))   # degenerate tiny sigma
+    g = g.at[5, 2:4].set(jnp.log(500.0))  # sigma >> canvas
+    g = g.at[6, 4].set(np.pi)    # theta at the wrap boundary
+    g = g.at[7, 4].set(-np.pi)
+    g = g.at[8, 5:8].set(0.0)    # black
+    g = g.at[9, 5:8].set(255.0)  # white
+    g9 = codec.genome_to_renderer(g[None])
+
+    from ggs_tpu.ops import render_pallas as rp
+
+    a = rp.render_pallas(g9, H, W, tile_h=8, tile_w=128, interpret=True)
+    b = oracle.render_xla(g9, H, W)
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_fuzz_random_configs_match_oracle():
+    """Randomized shapes/populations through kernel-vs-oracle."""
+    from ggs_tpu.ops import render_pallas as rp
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        H = int(rng.integers(9, 70))
+        W = int(rng.integers(16, 200))
+        N = int(rng.integers(1, 24))
+        B = int(rng.integers(1, 4))
+        k = jax.random.PRNGKey(trial)
+        g = genome.new_population(k, B, N, H, W, 1.0, float(rng.uniform(0.2, 1.0)))
+        g9 = codec.genome_to_renderer(g)
+        a = rp.render_pallas(g9, H, W, tile_h=8, tile_w=128, interpret=True)
+        b = oracle.render_xla(g9, H, W)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6,
+            err_msg=f"trial={trial} H={H} W={W} N={N} B={B}",
+        )
