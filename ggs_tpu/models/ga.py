@@ -45,12 +45,28 @@ def init(
     weight_mask: Optional[jnp.ndarray],
     ga: GAConfig,
     gnm: GenomeConfig,
+    init_pop: Optional[jnp.ndarray] = None,
 ) -> GAState:
-    """Fresh population + initial evaluation (modules/algorithm.py:55-68)."""
+    """Fresh population + initial evaluation (modules/algorithm.py:55-68).
+
+    init_pop warm-starts from an existing [pop_size, N, 9] axes-angle
+    population (e.g. a coarser resolution's result rescaled by
+    codec.scale_genome_pixels_anisotropic); it is re-clamped to this
+    resolution's scale domain before evaluation.
+    """
     key, k_pop = jax.random.split(key)
-    pop = genome_mod.new_population(
-        k_pop, ga.pop_size, gnm.n_splats, obj.H, obj.W, gnm.min_scale, gnm.max_scale
-    )
+    if init_pop is not None:
+        pop = jnp.asarray(init_pop, jnp.float32)
+        assert pop.shape == (ga.pop_size, gnm.n_splats, 9), pop.shape
+        from ..ops import codec as codec_mod
+
+        pop = codec_mod.clamp_genome(
+            pop, obj.H, obj.W, gnm.min_scale, gnm.max_scale
+        )
+    else:
+        pop = genome_mod.new_population(
+            k_pop, ga.pop_size, gnm.n_splats, obj.H, obj.W, gnm.min_scale, gnm.max_scale
+        )
     fits = objective_mod.evaluate(obj, pop, target, weight_mask)
     b = jnp.argmin(fits)
     return GAState(
@@ -239,6 +255,8 @@ def genetic_approx(
     migrate_every: int = 0,
     migrate_k: int = 1,
     profile_dir: str = "",
+    init_pop=None,
+    return_state: bool = False,
 ):
     """Host driver: full GA run with curves/frames/checkpoints.
 
@@ -285,7 +303,7 @@ def genetic_approx(
         obj = shard_mod.sharded_objective(obj, mesh)
 
     key = jax.random.PRNGKey(seed)
-    state = init(key, obj, target, weight_mask, ga, gnm)
+    state = init(key, obj, target, weight_mask, ga, gnm, init_pop=init_pop)
     start_gen = 0
     curves = {
         "best": [float(state.best_fit)],
@@ -393,4 +411,7 @@ def genetic_approx(
 
     io_mod.flush_frames()
     best = np.asarray(jax.device_get(state.best))
+    if return_state:
+        # final population for stage chaining (progressive fitting)
+        return best, float(state.best_fit), curves, np.asarray(jax.device_get(state.pop))
     return best, float(state.best_fit), curves

@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--migrate-every", type=int, default=0)
     p.add_argument("--migrate-k", type=int, default=1)
     p.add_argument("--profile-dir", default="", help="capture a jax.profiler trace here")
+    p.add_argument(
+        "--progressive", default="",
+        help="comma-separated work sides for coarse-to-fine stages, e.g. "
+        "'128,256,512' (overrides --work-max-side; --generations split "
+        "equally; the evolved population is rescaled between stages)",
+    )
     return p
 
 
@@ -105,32 +111,70 @@ def main(argv=None) -> None:
         mesh = mesh_mod.make_mesh(args.pop_shards, args.tile_shards)
         print(f"mesh: pop={args.pop_shards} x tile={args.tile_shards}")
 
-    best, best_fit, _ = ga.genetic_approx(
-        target,
-        H,
-        W,
-        obj=obj,
-        ga=ga_cfg,
-        gnm=gnm,
-        mask_cfg=mask_cfg,
-        seed=args.seed,
-        log_every=args.log_every,
-        save_video=save_video,
-        frame_every=frame_every,
-        video_dir=video_dir,
-        prefix="ga",
-        loss_png_path=os.path.join(args.output_dir, "ga_loss.png"),
-        loss_csv_path=os.path.join(args.output_dir, "ga_loss.csv"),
-        loss_log_y=True,
-        checkpoint_path=os.path.join(args.output_dir, "ga_ckpt.npz"),
-        checkpoint_every=args.checkpoint_every,
-        resume_from=args.resume,
-        mesh=mesh,
-        n_islands=args.islands,
-        migrate_every=args.migrate_every,
-        migrate_k=args.migrate_k,
-        profile_dir=args.profile_dir,
-    )
+    def run_stage(Hs, Ws, stage_cfg, init_pop, last, tag):
+        return ga.genetic_approx(
+            target,
+            Hs,
+            Ws,
+            obj=obj._replace(H=Hs, W=Ws),
+            ga=stage_cfg,
+            gnm=gnm,
+            mask_cfg=mask_cfg,
+            seed=args.seed,
+            log_every=args.log_every,
+            save_video=save_video and last,
+            frame_every=frame_every,
+            video_dir=video_dir,
+            prefix="ga",
+            loss_png_path=os.path.join(args.output_dir, f"ga_loss{tag}.png"),
+            loss_csv_path=os.path.join(args.output_dir, f"ga_loss{tag}.csv"),
+            loss_log_y=True,
+            checkpoint_path=os.path.join(args.output_dir, "ga_ckpt.npz") if last else "",
+            checkpoint_every=args.checkpoint_every if last else 0,
+            resume_from=args.resume if last else "",
+            mesh=mesh,
+            n_islands=args.islands,
+            migrate_every=args.migrate_every,
+            migrate_k=args.migrate_k,
+            profile_dir=args.profile_dir if last else "",
+            init_pop=init_pop,
+            return_state=not last,
+        )
+
+    if args.progressive:
+        # Coarse-to-fine: most generations run on tiny canvases (a 128^2
+        # stage evaluates 16x fewer pixels than 512^2), and the evolved
+        # population carries over via the reference's anisotropic rescale
+        # (modules/resize.py:16-20) into each finer stage.
+        import dataclasses
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        stages = [int(s) for s in args.progressive.split(",") if s]
+        gens_per = max(1, args.generations // len(stages))
+        pop0 = None
+        prev = None
+        for i, side in enumerate(stages):
+            Hs, Ws = codec.choose_work_size(H_out, W_out, max_side=side)
+            if pop0 is not None and (Hs, Ws) != prev:
+                pop0 = np.asarray(
+                    codec.scale_genome_pixels_anisotropic(
+                        jnp.asarray(pop0), sH=Hs / prev[0], sW=Ws / prev[1]
+                    )
+                )
+            last = i == len(stages) - 1
+            stage_cfg = dataclasses.replace(ga_cfg, generations=gens_per)
+            out = run_stage(Hs, Ws, stage_cfg, pop0, last, "" if last else f"_s{i}")
+            if last:
+                best, best_fit, _ = out
+            else:
+                _, stage_fit, _, pop0 = out
+                prev = (Hs, Ws)
+                print(f"stage {i} ({Hs}x{Ws}): best MSE {stage_fit:.6f}")
+        H, W = Hs, Ws
+    else:
+        best, best_fit, _ = run_stage(H, W, ga_cfg, None, True, "")
     print("Best MSE:", best_fit)
     if best_fit > 0 and args.metric == "mse":
         import math

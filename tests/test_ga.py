@@ -97,3 +97,22 @@ def test_genetic_approx_driver(tmp_path, key):
     assert (tmp_path / "loss.csv").exists()
     assert len(list((tmp_path / "frames").iterdir())) >= 1
     assert best_fit <= curves["best"][0]
+
+
+def test_init_pop_warm_start(key):
+    """ga.init with init_pop reuses the given population (re-clamped to the
+    new resolution's domain) instead of sampling, and evaluates it."""
+    import numpy as np
+
+    from ggs_tpu.ops import codec
+
+    cfg = GAConfig(pop_size=8, generations=10, elite_k=2)
+    pop0 = genome.new_population(key, cfg.pop_size, GNM.n_splats, H, W, GNM.min_scale, GNM.max_scale)
+    # push scales out of the domain of a smaller canvas to exercise re-clamp
+    pop_big = pop0.at[..., 2].add(3.0)
+    target = _target(jax.random.PRNGKey(77))
+
+    st = ga.init(jax.random.PRNGKey(1), OBJ, target, None, cfg, GNM, init_pop=pop_big)
+    clamped = codec.clamp_genome(pop_big, H, W, GNM.min_scale, GNM.max_scale)
+    np.testing.assert_array_equal(np.asarray(st.pop), np.asarray(clamped))
+    assert float(st.best_fit) == float(st.fits.min())
