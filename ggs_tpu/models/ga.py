@@ -268,7 +268,9 @@ def genetic_approx(
     mesh and the step runs SPMD; `n_islands > 1` switches to deme-local
     selection with ring migration (parallel/island.py). `profile_dir`
     captures a jax.profiler trace of the first post-warmup block.
-    Returns (best_genome [N,9] np, best_fit float, curves dict).
+    `init_pop` warm-starts from an existing population (see init()).
+    Returns (best_genome [N,9] np, best_fit float, curves dict), plus the
+    final population [P,N,9] np when `return_state` (for stage chaining).
     """
     import time as time_mod
 
