@@ -55,7 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--progressive", default="",
         help="comma-separated work sides for coarse-to-fine stages, e.g. "
         "'128,256,512' (overrides --work-max-side; --generations split "
-        "equally; the evolved population is rescaled between stages)",
+        "equally; the evolved population is rescaled between stages). "
+        "Measured slower-to-quality than flat fitting at equal budgets "
+        "(docs/DESIGN.md §9) — mainly useful as a resolution-upscale "
+        "warm start",
     )
     return p
 
