@@ -175,8 +175,17 @@ def simulated_annealing(
     checkpoint_every: int = 0,
     resume_from: str = "",
     progress: bool = True,
+    replicas: int = 1,
+    swap_every: int = 10,
+    t_hot: float = 0.0,
 ):
     """Host driver: full SA run (run_sags.py / annealing.py:48-190 equivalent).
+
+    replicas > 1 switches to parallel tempering (models/pt.py): K chains at
+    a geometric temperature ladder from sa.t0 (cold) to t_hot (default
+    100*t0), all proposals rendered as one fused batch, neighbor
+    configuration swaps every `swap_every` iterations. The 'current' curve
+    then tracks the coldest replica.
 
     Returns (best_genome [N,9] np, best_fit float, curves dict).
     """
@@ -204,15 +213,23 @@ def simulated_annealing(
     )
 
     key = jax.random.PRNGKey(seed)
-    state = init(key, obj, target, weight_mask, gnm)
+    if replicas > 1:
+        from . import pt as pt_mod
+
+        state = pt_mod.init(
+            key, obj, target, weight_mask, gnm, replicas,
+            t_cold=sa.t0, t_hot=t_hot if t_hot > 0 else 100.0 * sa.t0,
+        )
+        run = pt_mod.make_run_block(obj, sa, gnm, sig_max, sig_min, swap_every)
+    else:
+        state = init(key, obj, target, weight_mask, gnm)
+        run = make_run_block(obj, sa, gnm, sig_max, sig_min)
     start_it = 0
     curves = {"best": [float(state.best_fit)], "current": [float(state.curr_fit)]}
     if resume_from:
         state, meta = ckpt_mod.load_checkpoint(resume_from, state)
         start_it = int(meta.get("it", 0))
         curves = meta.get("curves", curves)
-
-    run = make_run_block(obj, sa, gnm, sig_max, sig_min)
 
     pad = len(str(sa.iterations))
     if save_video and start_it == 0:

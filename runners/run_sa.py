@@ -42,6 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", default="")
+    p.add_argument(
+        "--replicas", type=int, default=1,
+        help=">1: parallel tempering — K chains on a geometric annealed "
+        "temperature ladder, proposals rendered as one fused batch, "
+        "neighbor swaps. K x the render cost per iteration; measured at "
+        "parity with plain SA on smooth targets (docs/DESIGN.md \u00a710)",
+    )
+    p.add_argument("--swap-every", type=int, default=10)
+    p.add_argument("--t-hot", type=float, default=0.0, help="ladder top (default 100*t0)")
     return p
 
 
@@ -101,6 +110,9 @@ def main(argv=None) -> None:
         checkpoint_path=os.path.join(args.output_dir, "sa_ckpt.npz"),
         checkpoint_every=args.checkpoint_every,
         resume_from=args.resume,
+        replicas=args.replicas,
+        swap_every=args.swap_every,
+        t_hot=args.t_hot,
     )
     print("SA Best MSE:", best_fit)
     if best_fit > 0:
