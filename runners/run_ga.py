@@ -178,7 +178,8 @@ def main(argv=None) -> None:
         H, W = Hs, Ws
     else:
         best, best_fit, _ = run_stage(H, W, ga_cfg, None, True, "")
-    print("Best MSE:", best_fit)
+    label = "MSE" if args.metric == "mse" else f"energy ({args.metric})"
+    print(f"Best {label}:", best_fit)
     if best_fit > 0 and args.metric == "mse":
         import math
 
