@@ -29,11 +29,21 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _filter2(img_bhwc: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 'valid' convolution with a 2D window."""
+    """Depthwise 'valid' convolution with a 2D window.
+
+    precision=HIGHEST is load-bearing on TPU: the default conv runs bf16
+    multiplies (~4e-3 absolute error at unit scale), which made the
+    E[x^2] - mu^2 variance estimates negative enough to flip the SSIM
+    denominator's sign — an optimizer then EXPLOITS the pole and drives
+    the 'energy' to arbitrary negative values (observed: a GA reaching
+    mixed energy -7 with SSIM 43).
+    """
     B, H, W, C = img_bhwc.shape
     lhs = jnp.transpose(img_bhwc, (0, 3, 1, 2)).reshape(B * C, 1, H, W)
     rhs = win[None, None]
-    out = jax.lax.conv_general_dilated(lhs, rhs, (1, 1), "VALID")
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST
+    )
     Ho, Wo = out.shape[-2:]
     return jnp.transpose(out.reshape(B, C, Ho, Wo), (0, 2, 3, 1))
 
@@ -57,8 +67,10 @@ def ssim(
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y
     mu_xy = mu_x * mu_y
-    sig_xx = _filter2(imgs * imgs, win) - mu_xx
-    sig_yy = _filter2(t * t, win) - mu_yy
+    # True variances are nonnegative; clamp away the residual f32
+    # cancellation so the denominator can never cross zero.
+    sig_xx = jnp.maximum(_filter2(imgs * imgs, win) - mu_xx, 0.0)
+    sig_yy = jnp.maximum(_filter2(t * t, win) - mu_yy, 0.0)
     sig_xy = _filter2(imgs * t, win) - mu_xy
 
     s = ((2 * mu_xy + c1) * (2 * sig_xy + c2)) / (

@@ -62,3 +62,22 @@ def test_compiled_fused_fitness_matches_image_path(key):
     imgs = _on_tpu(lambda g: rp.render_pallas(g, H, W), g9)
     ref = jnp.mean((imgs - tgt[None]) ** 2, axis=(1, 2, 3))
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=5e-6)
+
+
+def test_ssim_bounded_on_tpu(key):
+    """Regression: the TPU conv defaults to bf16 multiplies, whose error
+    once flipped the SSIM variance denominator's sign (optimizers then
+    exploited the pole to 'energies' of -7). With HIGHEST-precision convs
+    + variance clamping, SSIM must stay in [-1, 1] for any in-gamut
+    images."""
+    from ggs_tpu.ops import codec, oracle
+    from ggs_tpu.ops import ssim as ssim_mod
+
+    H, W = 48, 64
+    g = genome.new_population(key, 6, 48, H, W, 1.0, 0.6)
+    imgs = _on_tpu(lambda g: oracle.render_xla(codec.genome_to_renderer(g), H, W), g)
+    tgt = imgs[0]
+    s = _on_tpu(lambda a, b: ssim_mod.ssim(a, b), imgs, tgt)
+    s = np.asarray(s)
+    assert np.all(s <= 1.0 + 1e-5) and np.all(s >= -1.0 - 1e-5), s
+    assert s[0] > 0.999  # self-similarity
