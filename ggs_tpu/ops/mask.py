@@ -33,8 +33,11 @@ def _conv2d_same(y_hw: jnp.ndarray, kernel_33: jnp.ndarray) -> jnp.ndarray:
     """3x3 conv, zero padding 1 (torch F.conv2d(padding=1) semantics)."""
     lhs = y_hw[None, None]  # [1, 1, H, W]
     rhs = kernel_33[None, None]  # [1, 1, 3, 3]
+    # HIGHEST: the TPU conv default is bf16 multiplies (~4e-3 error),
+    # which would break the torch-parity the mask tests pin down.
     out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1, 1), padding=((1, 1), (1, 1))
+        lhs, rhs, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0, 0]
 
@@ -79,7 +82,9 @@ def _norm01(t: jnp.ndarray) -> jnp.ndarray:
 
 def _resize_hw(y_hw: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     """Bilinear resize with half-pixel centers (= torch align_corners=False)."""
-    return jax.image.resize(y_hw, (H, W), method="bilinear")
+    return jax.image.resize(
+        y_hw, (H, W), method="bilinear", precision=jax.lax.Precision.HIGHEST
+    )
 
 
 @partial(
@@ -101,7 +106,9 @@ def compute_importance_mask(
     """Target image [H0, W0, 3] -> importance weights [H, W] in
     [(1-strength) + strength*floor', 1] (modules/mask.py:29-83)."""
     x = _to_unit(target_hw3.astype(jnp.float32))
-    x = jax.image.resize(x, (H, W, 3), method="bilinear")
+    x = jax.image.resize(
+        x, (H, W, 3), method="bilinear", precision=jax.lax.Precision.HIGHEST
+    )
     y = rgb_to_luma(x)  # already unit scale
 
     edges = jnp.zeros_like(y)

@@ -75,7 +75,11 @@ def ensure_hw(target: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     t = jnp.asarray(target, dtype=jnp.float32)
     t = jnp.where(jnp.max(t) > 1.5, t / 255.0, t)
     if t.shape[0] != H or t.shape[1] != W:
-        t = jax.image.resize(t, (H, W, 3), method="bilinear")
+        # HIGHEST: the TPU default resize runs bf16 matmuls; target-resize
+        # error would bias every fitness value (see ops/ssim.py _filter2).
+        t = jax.image.resize(
+            t, (H, W, 3), method="bilinear", precision=jax.lax.Precision.HIGHEST
+        )
     return t
 
 
