@@ -195,7 +195,12 @@ def _bwd_tile_kernel(
             k = c * S + j
             s, (cx, cy, sxx, sxy, syy, rc, gc, bc, a, x0, x1, y0, y1) = load_splat(k)
             e = ebuf_ref[j]
-            _, qx, qy = masked_exp(cx, cy, sxx, sxy, syy, x0, x1, y0, y1)
+            # only the centered offsets are needed here — e (incl. the
+            # quad/exp/mask work) was stored by the replay above; where the
+            # mask zeroed e, every grad term below carries the e (or f)
+            # factor, so the contributions vanish without re-masking.
+            qx = xf - cx
+            qy = yf - cy
             f = a * e
 
             gT0 = g0 * T
