@@ -1,0 +1,78 @@
+"""Error-guided splat growth — the 3DGS-densification analogue.
+
+The reference fits a FIXED splat budget from random initialization
+(modules/population.py), wasting capacity on easy regions. Here a
+population can grow between fitting stages: new splats are appended (=
+painted on top, §2.1 z-order) at pixels sampled from each individual's
+own residual-error map, colored from the target, and sized small — so
+added capacity lands exactly where the current fit is worst. Growth is a
+staged operation (N is a static shape under jit): the runner chains
+fitting stages through ga.genetic_approx(init_pop=...) exactly like
+progressive fitting.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import objective as objective_mod
+from ..ops.objective import Objective
+
+
+def grow_population(
+    key: jax.Array,
+    pop: jnp.ndarray,  # [P, N, 9] axes-angle
+    n_new: int,
+    target: jnp.ndarray,  # [H, W, 3]
+    obj: Objective,
+    weight_mask: Optional[jnp.ndarray] = None,
+    sigma_px: float = 3.0,
+    alpha: float = 220.0,
+) -> jnp.ndarray:
+    """[P, N, 9] -> [P, N + n_new, 9] with error-guided new splats.
+
+    Positions are sampled per individual from a categorical over its own
+    |render - target| residual (optionally importance-weighted), so each
+    candidate's added splats target its own weaknesses; colors are read
+    from the target at the sampled pixel; scales start near sigma_px with
+    slight anisotropy left to mutation/gradients to develop.
+    """
+    P, N, C = pop.shape
+    H, W = obj.H, obj.W
+    target = target.astype(jnp.float32)
+
+    imgs = objective_mod.render_genomes(obj, pop)  # [P, H, W, 3]
+    res = jnp.sum(jnp.abs(imgs - target[None]), axis=-1)  # [P, H, W]
+    if weight_mask is not None:
+        res = res * weight_mask[None]
+    logits = jnp.log(res.reshape(P, H * W) + 1e-9)
+
+    key, k_pos, k_theta = jax.random.split(key, 3)
+    pos_keys = jax.random.split(k_pos, P)
+    idx = jax.vmap(lambda k, lg: jax.random.categorical(k, lg, shape=(n_new,)))(
+        pos_keys, logits
+    )  # [P, n_new]
+    py = idx // W
+    px = idx % W
+
+    # axes-angle columns (SURVEY.md §2.1): normalized xy so that
+    # cx = x*(W-1) lands on the sampled pixel.
+    x = px.astype(jnp.float32) / max(W - 1, 1)
+    y = py.astype(jnp.float32) / max(H - 1, 1)
+    log_s = jnp.full((P, n_new), jnp.log(sigma_px), jnp.float32)
+    theta = jax.random.uniform(
+        k_theta, (P, n_new), minval=-jnp.pi, maxval=jnp.pi, dtype=jnp.float32
+    )
+    rgb = target[py, px] * 255.0  # [P, n_new, 3]
+    a = jnp.full((P, n_new), alpha, jnp.float32)
+
+    new = jnp.concatenate(
+        [
+            x[..., None], y[..., None], log_s[..., None], log_s[..., None],
+            theta[..., None], rgb, a[..., None],
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([pop.astype(jnp.float32), new], axis=1)

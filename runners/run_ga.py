@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--migrate-k", type=int, default=1)
     p.add_argument("--profile-dir", default="", help="capture a jax.profiler trace here")
     p.add_argument(
+        "--grow-stages", type=int, default=1,
+        help=">1: error-guided splat growth — stage i fits n-splats/2^(S-1-i) "
+        "splats, then appends new splats at each candidate's own highest-"
+        "residual pixels (models/grow.py), up to --n-splats in the final stage",
+    )
+    p.add_argument(
         "--progressive", default="",
         help="comma-separated work sides for coarse-to-fine stages, e.g. "
         "'128,256,512' (overrides --work-max-side; --generations split "
@@ -114,14 +120,14 @@ def main(argv=None) -> None:
         mesh = mesh_mod.make_mesh(args.pop_shards, args.tile_shards)
         print(f"mesh: pop={args.pop_shards} x tile={args.tile_shards}")
 
-    def run_stage(Hs, Ws, stage_cfg, init_pop, last, tag):
+    def run_stage(Hs, Ws, stage_cfg, init_pop, last, tag, gnm_s=None):
         return ga.genetic_approx(
             target,
             Hs,
             Ws,
             obj=obj._replace(H=Hs, W=Ws),
             ga=stage_cfg,
-            gnm=gnm,
+            gnm=gnm_s or gnm,
             mask_cfg=mask_cfg,
             seed=args.seed,
             log_every=args.log_every,
@@ -176,6 +182,50 @@ def main(argv=None) -> None:
                 prev = (Hs, Ws)
                 print(f"stage {i} ({Hs}x{Ws}): best MSE {stage_fit:.6f}")
         H, W = Hs, Ws
+    elif args.grow_stages > 1:
+        # Error-guided splat growth (models/grow.py): fit small budgets
+        # first, then append splats where each candidate's residual is
+        # worst. Same stage chaining as --progressive; the canvas stays at
+        # the working resolution throughout.
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from ggs_tpu.config import GenomeConfig
+        from ggs_tpu.models import grow
+        from ggs_tpu.ops import mask as mask_mod
+        from ggs_tpu.utils import io as io_mod2
+
+        S = args.grow_stages
+        sizes = [max(8, args.n_splats // (2 ** (S - 1 - i))) for i in range(S)]
+        sizes[-1] = args.n_splats
+        # Budget per stage proportional to its splat count (equal
+        # optimization effort per splat): equal splits starve the final
+        # full-N stage, which has the most parameters to settle.
+        total_n = sum(sizes)
+        gens_stage = [max(1, args.generations * n // total_n) for n in sizes]
+        t_work = io_mod2.ensure_hw(jnp.asarray(target), H, W)
+        wm = mask_mod.compute_importance_mask(
+            t_work, H, W, smooth=mask_cfg.smooth, strength=mask_cfg.strength
+        )
+        key = jax.random.PRNGKey(args.seed + 101)
+        pop0 = None
+        for i, n_i in enumerate(sizes):
+            last = i == S - 1
+            stage_cfg = dataclasses.replace(ga_cfg, generations=gens_stage[i])
+            gnm_s = GenomeConfig(n_splats=n_i)
+            out = run_stage(H, W, stage_cfg, pop0, last, "" if last else f"_g{i}", gnm_s)
+            if last:
+                best, best_fit, _ = out
+            else:
+                _, stage_fit, _, pop0 = out
+                print(f"grow stage {i} (N={n_i}): best MSE {stage_fit:.6f}")
+                key, k_g = jax.random.split(key)
+                pop0 = grow.grow_population(
+                    k_g, jnp.asarray(pop0), sizes[i + 1] - n_i, t_work,
+                    obj, weight_mask=wm,
+                )
     else:
         best, best_fit, _ = run_stage(H, W, ga_cfg, None, True, "")
     label = "MSE" if args.metric == "mse" else f"energy ({args.metric})"
