@@ -257,6 +257,8 @@ def genetic_approx(
     profile_dir: str = "",
     init_pop=None,
     return_state: bool = False,
+    recycle_every: int = 0,
+    recycle_k: int = 0,
 ):
     """Host driver: full GA run with curves/frames/checkpoints.
 
@@ -269,6 +271,11 @@ def genetic_approx(
     selection with ring migration (parallel/island.py). `profile_dir`
     captures a jax.profiler trace of the first post-warmup block.
     `init_pop` warm-starts from an existing population (see init()).
+    recycle_every/recycle_k enable the densify+prune cycle at fixed N
+    (models/grow.recycle_population) between jitted blocks: every
+    recycle_every generations each candidate's recycle_k lowest-impact
+    splats are replaced by error-guided ones and the population is
+    re-evaluated.
     Returns (best_genome [N,9] np, best_fit float, curves dict), plus the
     final population [P,N,9] np when `return_state` (for stage chaining).
     """
@@ -383,6 +390,25 @@ def genetic_approx(
                         gen, state.best, pad, prefix, video_dir, H, W, obj.k_sigma,
                         save_video, impl=obj.impl,
                     )
+            if recycle_every and recycle_k and gen % recycle_every < block and gen < ga.generations:
+                from . import grow as grow_mod
+
+                k_r = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), gen)
+                new_pop = grow_mod.recycle_population(
+                    k_r, state.pop, recycle_k, target, obj, weight_mask
+                )
+                new_fits = objective_mod.evaluate(obj, new_pop, target, weight_mask)
+                if mesh is not None:
+                    from ..parallel import mesh as mesh_mod2
+
+                    new_pop = jax.device_put(new_pop, mesh_mod2.pop_sharding(mesh))
+                    new_fits = jax.device_put(
+                        new_fits,
+                        jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec(mesh_mod2.POP_AXIS)
+                        ),
+                    )
+                state = state._replace(pop=new_pop, fits=new_fits)
             if checkpoint_path and checkpoint_every and gen % checkpoint_every < block:
                 ckpt_mod.save_checkpoint(
                     checkpoint_path, state, meta={"gen": gen, "curves": curves}

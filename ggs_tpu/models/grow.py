@@ -76,3 +76,44 @@ def grow_population(
         axis=-1,
     )
     return jnp.concatenate([pop.astype(jnp.float32), new], axis=1)
+
+
+def recycle_population(
+    key: jax.Array,
+    pop: jnp.ndarray,  # [P, N, 9] axes-angle
+    k: int,
+    target: jnp.ndarray,
+    obj: Objective,
+    weight_mask: Optional[jnp.ndarray] = None,
+    sigma_px: float = 3.0,
+    alpha: float = 220.0,
+) -> jnp.ndarray:
+    """Prune each candidate's k lowest-impact splats and regrow them at its
+    highest-residual pixels (the densify+prune cycle at FIXED N — no shape
+    change, so it can run between jitted blocks without recompiling).
+
+    Impact proxy: alpha * sigma_x * sigma_y — proportional to the splat's
+    integrated Gaussian mass (2*pi*alpha*sx*sy), so near-invisible or
+    near-degenerate splats are recycled first. Survivors keep their
+    relative painter order; replacements are appended on top, where the
+    residual says detail is missing.
+    """
+    P, N, C = pop.shape
+    assert 0 < k < N
+    imp = (
+        pop[..., 8] * jnp.exp(pop[..., 2]) * jnp.exp(pop[..., 3])
+    )  # [P, N] alpha(0-255 scale) * sx * sy
+    # survivors = all but the k lowest-impact, in original painter order:
+    # sort by (pruned, original index) and take the first N-k slots.
+    _, prune_idx = jax.lax.top_k(-imp, k)  # [P, k] lowest impact
+    pruned_mask = jnp.zeros((P, N), bool)
+    pruned_mask = jax.vmap(lambda m, i: m.at[i].set(True))(pruned_mask, prune_idx)
+    order_key = jnp.where(pruned_mask, N + jnp.arange(N)[None], jnp.arange(N)[None])
+    order = jnp.argsort(order_key, axis=1)[:, : N - k]  # [P, N-k]
+    survivors = jnp.take_along_axis(pop, order[..., None], axis=1)
+
+    grown = grow_population(
+        key, survivors, k, target, obj, weight_mask=weight_mask,
+        sigma_px=sigma_px, alpha=alpha,
+    )
+    return grown

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--migrate-every", type=int, default=0)
     p.add_argument("--migrate-k", type=int, default=1)
     p.add_argument("--profile-dir", default="", help="capture a jax.profiler trace here")
+    p.add_argument("--recycle-every", type=int, default=0,
+        help="every N generations, replace each candidate's k lowest-impact "
+        "splats with error-guided ones (fixed N, no recompile)")
+    p.add_argument("--recycle-k", type=int, default=0)
     p.add_argument(
         "--grow-stages", type=int, default=1,
         help=">1: error-guided splat growth — stage i fits n-splats/2^(S-1-i) "
@@ -148,6 +152,8 @@ def main(argv=None) -> None:
             profile_dir=args.profile_dir if last else "",
             init_pop=init_pop,
             return_state=not last,
+            recycle_every=args.recycle_every,
+            recycle_k=args.recycle_k,
         )
 
     if args.progressive:

@@ -54,3 +54,26 @@ def test_grow_improves_fitness_headroom(key):
     np.testing.assert_allclose(np.asarray(clamped), np.asarray(out), atol=1e-5)
     fits = objective.evaluate(OBJ, out, target, None)
     assert np.isfinite(np.asarray(fits)).all()
+
+
+def test_recycle_prunes_lowest_impact_and_keeps_shape(key):
+    pop = genome.new_population(key, 2, 8, H, W, GNM.min_scale, GNM.max_scale)
+    # make splat 3 clearly the least massive (tiny alpha and scale)
+    pop = pop.at[:, 3, 8].set(0.01)
+    pop = pop.at[:, 3, 2:4].set(jnp.log(1.0))
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    out = grow.recycle_population(jax.random.PRNGKey(5), pop, 2, target, OBJ)
+    assert out.shape == pop.shape
+    # splat 3 must be gone from the survivor slots (first N-k, original order)
+    surv = np.asarray(out[:, :6])
+    orig = np.asarray(pop)
+    for p in range(2):
+        for row in surv[p]:
+            assert not np.allclose(row, orig[p, 3]), "lowest-impact splat survived"
+    # survivors preserve relative painter order: each survivor row appears
+    # in the original, and their original indices are increasing
+    for p in range(2):
+        idxs = [
+            int(np.argmin(np.abs(orig[p] - row).sum(axis=1))) for row in surv[p]
+        ]
+        assert idxs == sorted(idxs)
