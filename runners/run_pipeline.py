@@ -1,0 +1,73 @@
+"""The measured-best fitting recipe as one command (docs/DESIGN.md §11):
+
+    1. GA with error-guided splat growth (+ optional recycling)
+    2. Adam polish of the evolved genome through the differentiable renderer
+
+Measured +2.1 dB PSNR over the best single-method result (25.4 vs 23.1 dB
+on the reference-scale synthetic benchmark).
+
+    python runners/run_pipeline.py --image imgs/reference.jpg \
+        --n-splats 512 --ga-generations 100000 --adam-steps 800
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import run_ga
+import run_grad
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--image", default="imgs/reference.jpg")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--work-max-side", type=int, default=512)
+    p.add_argument("--n-splats", type=int, default=512)
+    p.add_argument("--pop-size", type=int, default=32)
+    p.add_argument("--ga-generations", type=int, default=100_000)
+    p.add_argument("--grow-stages", type=int, default=4)
+    p.add_argument("--recycle-every", type=int, default=10_000)
+    p.add_argument("--recycle-k", type=int, default=0, help="0 = n-splats/16")
+    p.add_argument("--adam-steps", type=int, default=800)
+    p.add_argument("--adam-lr", type=float, default=1e-2)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-video", action="store_true")
+    args = p.parse_args(argv)
+
+    recycle_k = args.recycle_k or max(1, args.n_splats // 16)
+    common = ["--image", args.image, "--output-dir", args.output_dir,
+              "--work-max-side", str(args.work_max_side),
+              "--n-splats", str(args.n_splats), "--seed", str(args.seed)]
+
+    print("=== stage 1/2: GA with error-guided growth ===", flush=True)
+    ga_args = common + [
+        "--pop-size", str(args.pop_size),
+        "--generations", str(args.ga_generations),
+        "--grow-stages", str(args.grow_stages),
+        "--recycle-every", str(args.recycle_every),
+        "--recycle-k", str(recycle_k),
+        "--log-every", "1000",
+    ]
+    if args.no_video:
+        ga_args.append("--no-video")
+    run_ga.main(ga_args)
+
+    print("=== stage 2/2: Adam polish ===", flush=True)
+    run_grad.main(common + [
+        "--init-from", os.path.join(args.output_dir, "ga_best_genome.npy"),
+        "--steps", str(args.adam_steps),
+        "--lr", str(args.adam_lr),
+    ])
+    print(
+        "pipeline done: final image "
+        f"{os.path.join(args.output_dir, 'grad_splats.png')}, genome "
+        f"{os.path.join(args.output_dir, 'grad_genome.npy')}"
+    )
+
+
+if __name__ == "__main__":
+    main()
