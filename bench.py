@@ -73,19 +73,54 @@ def main() -> None:
         f"B={B} N={N} {H}x{W} iters={iters} time={dt:.3f}s",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"candidate_renders_per_s_{H}x{W}_{N}splats",
-                "value": round(renders_per_s, 2),
-                "unit": "renders/s/chip",
-                "vs_baseline": round(renders_per_s / 10_000.0, 4),
-                # the 10k target is specified for v5p (BASELINE.md); this
-                # records what the attached chip actually is
-                "hardware": str(jax.devices()[0].device_kind),
-            }
-        )
-    )
+
+    # Backward direction: Adam steps/s through the custom-VJP Pallas
+    # renderer (the flagship capability the reference lacks — it is
+    # @torch.no_grad everywhere). Tracked here so a backward regression is
+    # visible between rounds, not only in benchmarks/suite.py.
+    grad_steps_per_s = None
+    if os.environ.get("GGS_BENCH_GRAD", "1") != "0" and impl == "pallas":
+        try:
+            from ggs_tpu.config import GenomeConfig, GradConfig
+            from ggs_tpu.models import genome as genome_mod
+            from ggs_tpu.models import gradient
+
+            Ng = _env_int("GGS_BENCH_GRAD_N", 2000)
+            gnm = GenomeConfig(n_splats=Ng)
+            gobj = objective.Objective(H=H, W=W, impl=impl)
+            cfg = GradConfig(lr=1e-2)
+            g0 = genome_mod.new_population(jax.random.PRNGKey(2), 1, Ng, H, W)
+            opt, _ = gradient.make_fit_step(gobj, gnm, cfg)
+            state = gradient.init_state(opt, g0)
+            run = gradient.make_run_block(gobj, gnm, cfg)
+            giters = _env_int("GGS_BENCH_GRAD_ITERS", 20)
+            state, m = run(state, target, None, giters)
+            float(jnp.asarray(m).sum())  # sync compile+warmup (axon async)
+            t0 = time.perf_counter()
+            state, m = run(state, target, None, giters)
+            float(jnp.asarray(m).sum())
+            gdt = time.perf_counter() - t0
+            grad_steps_per_s = giters / gdt
+            print(
+                f"[bench] grad: N={Ng} B=1 {H}x{W} iters={giters} "
+                f"time={gdt:.3f}s -> {grad_steps_per_s:.1f} steps/s",
+                file=sys.stderr,
+            )
+        except Exception as e:  # never fail the driver metric on this
+            print(f"[bench] grad bench skipped ({e})", file=sys.stderr)
+
+    record = {
+        "metric": f"candidate_renders_per_s_{H}x{W}_{N}splats",
+        "value": round(renders_per_s, 2),
+        "unit": "renders/s/chip",
+        "vs_baseline": round(renders_per_s / 10_000.0, 4),
+        # the 10k target is specified for v5p (BASELINE.md); this
+        # records what the attached chip actually is
+        "hardware": str(jax.devices()[0].device_kind),
+    }
+    if grad_steps_per_s is not None:
+        record[f"grad_adam_steps_per_s_{H}x{W}_{Ng}splats"] = round(grad_steps_per_s, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -363,6 +363,10 @@ def genetic_approx(
     # cadence finer than the logging cadence by shrinking the block (the
     # reference saves mid-loop at exactly frame_every, algorithm.py:158).
     block_size = min(log_every, frame_every) if save_video else log_every
+    if recycle_every and recycle_k:
+        # The recycle trigger below fires at most once per block: honor a
+        # cadence finer than the logging cadence by shrinking the block.
+        block_size = min(block_size, recycle_every)
     block_size = max(1, block_size)
     try:
         while gen < ga.generations:

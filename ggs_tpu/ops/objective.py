@@ -129,12 +129,20 @@ def evaluate(
             boost_beta=obj.boost_beta,
         )
 
-    if obj.chunk is None or obj.chunk >= B or B % obj.chunk != 0:
+    if obj.chunk is None or obj.chunk >= B:
         return eval_batch(g_axes)
 
-    g_chunks = g_axes.reshape(B // obj.chunk, obj.chunk, *g_axes.shape[1:])
+    # When chunk doesn't divide B, pad with copies of the first genome so
+    # the memory cap still holds (previously the whole batch was silently
+    # evaluated at once — a peak-memory footgun), then drop the padding.
+    n_chunks = -(-B // obj.chunk)
+    Bp = n_chunks * obj.chunk
+    if Bp != B:
+        pad = jnp.broadcast_to(g_axes[:1], (Bp - B, *g_axes.shape[1:]))
+        g_axes = jnp.concatenate([g_axes, pad], axis=0)
+    g_chunks = g_axes.reshape(n_chunks, obj.chunk, *g_axes.shape[1:])
     fits = jax.lax.map(eval_batch, g_chunks)
-    return fits.reshape(B)
+    return fits.reshape(Bp)[:B]
 
 
 def _evaluate_fused_sharded(

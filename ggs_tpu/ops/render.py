@@ -6,8 +6,9 @@ same contract ([B, N, 9] or [N, 9] renderer genomes -> [B, H, W, 3] f32 in
 [0, 1] over a white background), but jit/vmap/grad-compatible and
 device-agnostic:
 
-* impl="pallas": the tiled Pallas TPU kernel (MXU quadratic forms +
-  transmittance scan; ops/render_pallas.py).
+* impl="pallas": the tiled Pallas TPU kernel (VPU elementwise quadratic
+  forms + sequential painter-order blend; ops/render_pallas.py — an MXU
+  formulation was measured and rejected, docs/DESIGN.md §2).
 * impl="xla": the dense differentiable oracle (ops/oracle.py).
 * impl="auto": pallas on TPU, xla elsewhere.
 """

@@ -16,8 +16,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def synthetic_target(H: int = 512, W: int = 512, seed: int = 0) -> np.ndarray:
+    """Deterministic procedural target image, float32 [H, W, 3] in [0, 1].
+
+    Smooth color gradients + anisotropic Gaussian blobs + a couple of hard
+    edges: representable by splats (so fits converge to high PSNR) while
+    still exercising the importance mask's edge/variance cues. Used when
+    the target path is the literal string "synthetic[:HxW]" and as the
+    source of the bundled default imgs/reference.png (the reference repo
+    ships no imgs/ despite defaulting to imgs/reference.jpg — run_ggs.py
+    would crash out of the box; we bundle instead of inheriting the bug).
+    """
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    u, v = x / max(W - 1, 1), y / max(H - 1, 1)
+    img = np.stack(
+        [0.55 + 0.35 * u - 0.15 * v, 0.45 + 0.30 * v, 0.65 - 0.25 * u + 0.20 * v],
+        axis=-1,
+    )
+    for _ in range(14):  # anisotropic Gaussian blobs
+        cx, cy = rng.uniform(0.1, 0.9, 2)
+        sx, sy = rng.uniform(0.03, 0.22, 2)
+        th = rng.uniform(0, np.pi)
+        col = rng.uniform(0, 1, 3).astype(np.float32)
+        a = rng.uniform(0.5, 0.95)
+        dx, dy = u - cx, v - cy
+        rx = np.cos(th) * dx + np.sin(th) * dy
+        ry = -np.sin(th) * dx + np.cos(th) * dy
+        f = a * np.exp(-0.5 * ((rx / sx) ** 2 + (ry / sy) ** 2))
+        img = (1.0 - f[..., None]) * img + f[..., None] * col
+    # two hard-edged shapes for the edge cue
+    img[(u > 0.62) & (u < 0.80) & (v > 0.15) & (v < 0.33)] = (0.95, 0.85, 0.25)
+    disk = (u - 0.25) ** 2 + (v - 0.72) ** 2 < 0.012
+    img[disk] = (0.15, 0.20, 0.55)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
 def load_image(path: str) -> np.ndarray:
-    """Load an RGB image -> float32 [H, W, 3] in [0, 1] (run_ggs.py:33-36)."""
+    """Load an RGB image -> float32 [H, W, 3] in [0, 1] (run_ggs.py:33-36).
+
+    The literal path "synthetic" (or "synthetic:HxW") returns the
+    deterministic procedural target instead of reading a file.
+    """
+    if path == "synthetic" or path.startswith("synthetic:"):
+        if ":" in path:
+            h, w = (int(s) for s in path.split(":", 1)[1].lower().split("x"))
+        else:
+            h = w = 512
+        return synthetic_target(h, w)
     from PIL import Image
 
     pil = Image.open(path).convert("RGB")

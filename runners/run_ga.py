@@ -3,7 +3,7 @@
 Loads a target image, picks the working resolution, runs the jitted GA,
 then exports the full-resolution render, loss curves, and video frames.
 
-    python runners/run_ga.py --image imgs/reference.jpg --generations 5000
+    python runners/run_ga.py --image imgs/reference.png --generations 5000
 """
 from __future__ import annotations
 
@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--image", default="imgs/reference.jpg")
+    p.add_argument("--image", default="imgs/reference.png")
     p.add_argument("--output-dir", default="output")
     p.add_argument("--work-max-side", type=int, default=512)
     p.add_argument("--n-splats", type=int, default=512)
@@ -74,7 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.progressive and args.grow_stages > 1:
+        parser.error("--progressive and --grow-stages are mutually exclusive; "
+                     "run progressive first, then a grow run warm-started from "
+                     "its genome (--resume / pipeline)")
 
     from ggs_tpu.config import GAConfig, GenomeConfig, MaskConfig
     from ggs_tpu.models import ga

@@ -1,7 +1,7 @@
 """Gradient-descent fitting entry point (new capability — the reference is
 derivative-free; this uses the differentiable renderer + projected Adam).
 
-    python runners/run_grad.py --image imgs/reference.jpg --steps 2000
+    python runners/run_grad.py --image imgs/reference.png --steps 2000
 """
 from __future__ import annotations
 
@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--image", default="imgs/reference.jpg")
+    p.add_argument("--image", default="imgs/reference.png")
     p.add_argument("--output-dir", default="output")
     p.add_argument("--work-max-side", type=int, default=512)
     p.add_argument("--n-splats", type=int, default=2000)

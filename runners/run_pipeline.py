@@ -6,7 +6,7 @@
 Measured +2.1 dB PSNR over the best single-method result (25.4 vs 23.1 dB
 on the reference-scale synthetic benchmark).
 
-    python runners/run_pipeline.py --image imgs/reference.jpg \
+    python runners/run_pipeline.py --image imgs/reference.png \
         --n-splats 512 --ga-generations 100000 --adam-steps 800
 """
 from __future__ import annotations
@@ -17,13 +17,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import run_ga
-import run_grad
+# Package-qualified so the module also loads as `runners.run_pipeline`
+# (the installed ggs-run-pipeline console script); the sys.path insert
+# above keeps direct `python runners/run_pipeline.py` working too.
+from runners import run_ga, run_grad
 
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--image", default="imgs/reference.jpg")
+    p.add_argument("--image", default="imgs/reference.png")
     p.add_argument("--output-dir", default="output")
     p.add_argument("--work-max-side", type=int, default=512)
     p.add_argument("--n-splats", type=int, default=512)

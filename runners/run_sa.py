@@ -1,6 +1,6 @@
 """SA entry point (reference run_sags.py equivalent, with a real CLI).
 
-    python runners/run_sa.py --image imgs/reference.jpg --iterations 5000
+    python runners/run_sa.py --image imgs/reference.png --iterations 5000
 """
 from __future__ import annotations
 
@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--image", default="imgs/reference.jpg")
+    p.add_argument("--image", default="imgs/reference.png")
     p.add_argument("--output-dir", default="output")
     p.add_argument("--work-max-side", type=int, default=512)
     p.add_argument("--n-splats", type=int, default=512)
