@@ -93,7 +93,10 @@ def main() -> None:
             opt, _ = gradient.make_fit_step(gobj, gnm, cfg)
             state = gradient.init_state(opt, g0)
             run = gradient.make_run_block(gobj, gnm, cfg)
-            giters = _env_int("GGS_BENCH_GRAD_ITERS", 20)
+            # 100+ iters: at ~3 ms/step, 20 iters was dominated by host
+            # dispatch of the run block (measured 198 "steps/s" vs the
+            # true 356 at 100 iters on the same build).
+            giters = _env_int("GGS_BENCH_GRAD_ITERS", 100)
             state, m = run(state, target, None, giters)
             float(jnp.asarray(m).sum())  # sync compile+warmup (axon async)
             t0 = time.perf_counter()

@@ -49,6 +49,22 @@ def fitness_from_images(
     return num / den
 
 
+def weff_denom(weight_mask, boost_only, boost_beta, H, W):
+    """(effective weight plane [H, W] or None, scalar denominator) such
+    that fitness == sum_px(w_eff * sum_ch dif^2) / denom for every scoring
+    mode of fitness_from_images — the single-device analogue of
+    sharded_weff_denom, used by the fused on-chip loss+grad kernel
+    (ops/render_grad.py) so the modes cannot drift from this module."""
+    hw3 = jnp.float32(H * W * 3)
+    if weight_mask is None:
+        return None, hw3
+    w = weight_mask.astype(jnp.float32)
+    if boost_only:
+        w_eff = 1.0 + boost_beta * jnp.clip(w, 0.0, 1.0)
+        return w_eff, (jnp.mean(w_eff) + 1e-12) * hw3
+    return w, jnp.sum(w) + 1e-12
+
+
 def sharded_weff_denom(w_rows, boost_only, boost_beta, H, W, tile_axis):
     """Per-device (w_eff rows, scalar denominator) for the tile-sharded
     fitness/loss paths (canvas rows sharded over `tile_axis`).

@@ -58,8 +58,7 @@ def _bwd_tile_kernel(
     cnt_ref,  # (1, 1, 1, 1) SMEM i32
     idx_ref,  # (1, 1, 1, cap) SMEM i32
     feats_ref,  # (1, 13, N1) SMEM f32 (row N = sentinel zeros)
-    gimg_ref,  # (1, 3, tile_h, tile_w) VMEM f32 cotangent
-    *refs,  # [init_ref (1,3,th,tw) if has_init,] grad_ref, [dinit_ref,] scratches
+    *refs,  # see unpacking below (differs by mode)
     n_tx: int,
     tile_h: int,
     tile_w: int,
@@ -67,19 +66,38 @@ def _bwd_tile_kernel(
     cap: int,
     chunk: int,
     has_init: bool = False,
+    fused: bool = False,
 ):
     # grad_ref: (1, 9, N1) SMEM accumulator (persists across tiles).
-    # With has_init (a chained splat-chunk pass, see render_pallas
-    # _chunked_passes): init_ref holds the previous pass's canvas and
-    # dinit_ref receives its cotangent g * T_total (T_total = suffix
-    # transmittance through this whole chunk) so JAX chains passes.
-    if has_init:
-        init_ref, grad_ref, dinit_ref = refs[0], refs[1], refs[2]
-        cbound_ref, ebuf_ref, cprev_ref = refs[3], refs[4], refs[5]
+    #
+    # Plain VJP mode (fused=False): gimg_ref (1,3,th,tw) VMEM holds the
+    # upstream image cotangent. With has_init (a chained splat-chunk pass,
+    # see render_pallas _chunked_passes): init_ref holds the previous
+    # pass's canvas and dinit_ref receives its cotangent g * T_total
+    # (T_total = suffix transmittance through this whole chunk) so JAX
+    # chains passes.
+    #
+    # Fused loss+grad mode (fused=True): instead of an upstream cotangent,
+    # the kernel receives the target tile, a weight plane, and a cotangent
+    # scale; after the forward replay it computes the weighted-SSE partial
+    # (accumulated into num_ref across tiles) and the image cotangent
+    # g = scale * w * (clip(canvas) - target) ON-CHIP, then runs the same
+    # backward walk. One kernel = forward + loss + backward with zero
+    # image/cotangent HBM traffic. (Storing boundary canvases to HBM from
+    # a separate forward kernel was measured SLOWER than this: the
+    # ~2*mc*3*H*W*4-byte round trip cancels the saved replay pass.)
+    if fused:
+        tgt_ref, wgt_ref, scale_ref = refs[0], refs[1], refs[2]
+        num_ref, grad_ref = refs[3], refs[4]
+        cbound_ref, ebuf_ref, cprev_ref = refs[5], refs[6], refs[7]
+        gimg_ref = init_ref = dinit_ref = None
+    elif has_init:
+        gimg_ref, init_ref, grad_ref, dinit_ref = refs[0], refs[1], refs[2], refs[3]
+        cbound_ref, ebuf_ref, cprev_ref = refs[4], refs[5], refs[6]
     else:
         init_ref, dinit_ref = None, None
-        grad_ref = refs[0]
-        cbound_ref, ebuf_ref, cprev_ref = refs[1], refs[2], refs[3]
+        gimg_ref, grad_ref = refs[0], refs[1]
+        cbound_ref, ebuf_ref, cprev_ref = refs[2], refs[3], refs[4]
     t = pl.program_id(1)
     n1 = grad_ref.shape[2]
 
@@ -93,6 +111,8 @@ def _bwd_tile_kernel(
             return 0
 
         jax.lax.fori_loop(0, n1, z, 0)
+        if fused:
+            num_ref[0, 0] = 0.0
 
     tx0 = (t % n_tx) * tile_w
     ty0 = (t // n_tx) * tile_h
@@ -157,12 +177,33 @@ def _bwd_tile_kernel(
         cbound_ref[c + 1, 2] = cb
         return (cr, cg, cb)
 
-    jax.lax.fori_loop(0, n_chunks, chunk_fwd, (cbound_ref[0, 0], cbound_ref[0, 1], cbound_ref[0, 2]))
+    fr, fg, fb = jax.lax.fori_loop(
+        0, n_chunks, chunk_fwd, (cbound_ref[0, 0], cbound_ref[0, 1], cbound_ref[0, 2])
+    )
+
+    # ---- Image cotangent planes ----
+    if fused:
+        # On-chip loss head: clip the just-rendered canvas (matching the
+        # primal renderer's final clamp), diff against the target tile,
+        # accumulate the weighted-SSE partial, and form the cotangent.
+        # The weight plane is zero on canvas padding, so padded pixels
+        # contribute neither loss nor gradient.
+        w = wgt_ref[0, 0]
+        scale = scale_ref[0, 0]
+        dr = jnp.clip(fr, 0.0, 1.0) - tgt_ref[0, 0]
+        dg = jnp.clip(fg, 0.0, 1.0) - tgt_ref[0, 1]
+        db = jnp.clip(fb, 0.0, 1.0) - tgt_ref[0, 2]
+        num_ref[0, 0] += jnp.sum(w * (dr * dr + dg * dg + db * db))
+        sw = scale * w
+        g0 = sw * dr
+        g1 = sw * dg
+        g2 = sw * db
+    else:
+        g0 = gimg_ref[0, 0]
+        g1 = gimg_ref[0, 1]
+        g2 = gimg_ref[0, 2]
 
     # ---- Pass B: reverse over chunks ----
-    g0 = gimg_ref[0, 0]
-    g1 = gimg_ref[0, 1]
-    g2 = gimg_ref[0, 2]
 
     def chunk_bwd(ci, T_above):
         c = n_chunks - 1 - ci
@@ -439,6 +480,176 @@ def _make_screen_render(
 
     screen_render.defvjp(screen_render_fwd, screen_render_bwd)
     return screen_render
+
+
+@functools.lru_cache(maxsize=64)
+def _make_screen_lossgrad(
+    B: int,
+    N: int,
+    H: int,
+    W: int,
+    tile_h: int,
+    tile_w: int,
+    cap: int,
+    background: Tuple[float, float, float],
+    interpret: bool,
+):
+    """Build the fused loss+grad runner for one static config.
+
+    Returns run(arrs, target, w_eff, scale) -> (num [B], grads [B, 9, N]):
+    num = per-image sum_px(w_eff * sum_ch (clip(render) - target)^2) and
+    grads = d(scale * num summed over B)/d(screen params), both from ONE
+    kernel invocation per (image, tile) — forward walk with chunk-boundary
+    canvases in VMEM scratch, on-chip loss head, backward walk (see
+    _bwd_tile_kernel fused=True).
+    """
+    n_tx = _cdiv(W, tile_w)
+    n_ty = _cdiv(H, tile_h)
+    T = n_tx * n_ty
+    Hp, Wp = n_ty * tile_h, n_tx * tile_w
+    N1 = N + 1
+    cap_pad = _cdiv(cap, _CHUNK) * _CHUNK
+    max_chunks = cap_pad // _CHUNK
+
+    def run(arrs, target, w_eff, scale):
+        p = codec.SplatScreen(
+            cx=arrs[0], cy=arrs[1], sxx=arrs[2], sxy=arrs[3], syy=arrs[4],
+            rc=arrs[5], gc=arrs[6], bc=arrs[7], a=arrs[8],
+            x0=arrs[9].astype(jnp.int32), x1=arrs[10].astype(jnp.int32),
+            y0=arrs[11].astype(jnp.int32), y1=arrs[12].astype(jnp.int32),
+        )
+        feats = _splat_feats(p)  # raw layout: the backward differentiates it
+        feats = jnp.concatenate([feats, jnp.zeros((B, _NFEAT, 1), jnp.float32)], axis=2)
+        bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+        if cap_pad > cap:
+            bin_idx = jnp.concatenate(
+                [bin_idx, jnp.full((B, T, cap_pad - cap), N, jnp.int32)], axis=-1
+            )
+        tgt = jnp.transpose(target.astype(jnp.float32), (2, 0, 1))
+        tgt = jnp.pad(tgt, ((0, 0), (0, Hp - H), (0, Wp - W)))[None]
+        w = jnp.ones((H, W), jnp.float32) if w_eff is None else w_eff.astype(jnp.float32)
+        w = jnp.pad(w, ((0, Hp - H), (0, Wp - W)))[None, None]
+        sc = jnp.reshape(scale, (1, 1)).astype(jnp.float32)
+
+        num, grads = pl.pallas_call(
+            functools.partial(
+                _bwd_tile_kernel,
+                n_tx=n_tx, tile_h=tile_h, tile_w=tile_w, background=background,
+                cap=cap_pad, chunk=_CHUNK, has_init=False, fused=True,
+            ),
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, cap_pad), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _NFEAT, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 3, tile_h, tile_w),
+                    lambda b, t: (0, 0, t // n_tx, t % n_tx),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, tile_h, tile_w),
+                    lambda b, t: (0, 0, t // n_tx, t % n_tx),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, 1), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1), lambda b, t: (b, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _NGRAD, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, _NGRAD, N1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((max_chunks + 1, 3, tile_h, tile_w), jnp.float32),
+                pltpu.VMEM((_CHUNK, tile_h, tile_w), jnp.float32),
+                pltpu.VMEM((_CHUNK, 3, tile_h, tile_w), jnp.float32),
+            ],
+            interpret=interpret,
+        )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats, tgt, w, sc)
+        return num[:, 0], grads[:, :, :N]  # drop the sentinel row
+
+    return run
+
+
+def fused_value_and_grad(
+    g_axes: jnp.ndarray,
+    target: jnp.ndarray,
+    weight_mask: Optional[jnp.ndarray],
+    H: int,
+    W: int,
+    *,
+    boost_only: bool = False,
+    boost_beta: float = 1.0,
+    k_sigma: float = 3.0,
+    background: Sequence[float] = (1.0, 1.0, 1.0),
+    bin_capacity: Optional[int] = None,
+    tile_h: Optional[int] = None,
+    tile_w: int = 128,
+    interpret: bool = False,
+):
+    """Fused ((loss, fits), grads) for loss = mean(fitness(render(g), target)).
+
+    Drop-in replacement for jax.value_and_grad(make_loss_fn(...)) on the
+    single-device pallas path (models/gradient.py): one Pallas kernel per
+    (image, tile) renders forward (boundary canvases in VMEM scratch),
+    evaluates the scoring-mode loss head on-chip (fitness.weff_denom — the
+    modes' single home), and walks backward — instead of the plain VJP's
+    render kernel + XLA loss + backward kernel whose pass A re-replays the
+    whole splat list. Saves one full forward replay AND the image +
+    cotangent HBM round trips. Grads chain through codec.preprocess /
+    genome_to_renderer by ordinary JAX VJP, exactly as render_pallas_diff.
+
+    g_axes: [B, N, 9] axes-angle genomes; target: [H, W, 3];
+    weight_mask: [H, W] or None (scoring modes per modules/fitness.py:8-31).
+    Requires N <= render_pallas._MAX_SMEM_SPLATS (no chunk chaining) —
+    callers gate and fall back to the unfused path.
+    """
+    from . import fitness
+    from .render_pallas import _MAX_SMEM_SPLATS
+
+    B, N = int(g_axes.shape[0]), int(g_axes.shape[1])
+    if N > _MAX_SMEM_SPLATS:
+        raise ValueError(
+            f"fused_value_and_grad requires N <= {_MAX_SMEM_SPLATS} (got {N}); "
+            "use the unfused loss (render_pallas_diff chains SMEM chunks)"
+        )
+    cap = N if bin_capacity is None else min(bin_capacity, N)
+    if tile_h is None:
+        budget = 10 * 1024 * 1024
+        mc = _cdiv(cap, _CHUNK)
+        tile_h = 8
+        for th in (64, 32, 16):
+            scratch = th * tile_w * 4 * ((mc + 1) * 3 + 3 * _CHUNK + _CHUNK)
+            if scratch <= budget:
+                tile_h = th
+                break
+    bgt = tuple(float(c) for c in background)
+
+    w_eff, denom = fitness.weff_denom(weight_mask, boost_only, boost_beta, H, W)
+
+    def chain(g_ax):
+        g9 = codec.genome_to_renderer(g_ax)
+        g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
+        p = codec.preprocess(g9, H, W, k_sigma)
+        return (
+            p.cx, p.cy, p.sxx, p.sxy, p.syy, p.rc, p.gc, p.bc, p.a,
+            p.x0.astype(jnp.float32), p.x1.astype(jnp.float32),
+            p.y0.astype(jnp.float32), p.y1.astype(jnp.float32),
+        )
+
+    arrs, pull = jax.vjp(chain, g_axes)
+    run = _make_screen_lossgrad(B, N, H, W, tile_h, tile_w, cap, bgt, interpret)
+    # scale: d(mean_b fits_b)/d(num_b) * d(num)/d(img) inner factor —
+    # fits = num / denom, loss = mean(fits) => dL/dimg = (2/(B*denom)) w diff
+    num, g = run(arrs, target, w_eff, 2.0 / (B * denom))
+    fits = num / denom
+    zero = jnp.zeros((B, N), jnp.float32)
+    cots = tuple(g[:, i] for i in range(_NGRAD)) + (zero, zero, zero, zero)
+    (grads,) = pull(cots)
+    return (jnp.mean(fits), fits), grads
 
 
 def render_pallas_diff(

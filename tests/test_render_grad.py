@@ -128,3 +128,56 @@ def test_chunked_passes_grads_match_oracle(monkeypatch, key):
     ga = jax.grad(loss_pallas)(g9)
     gb = jax.grad(loss_oracle)(g9)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-7)
+
+
+def test_fused_value_and_grad_matches_unfused(key):
+    """The fused single-kernel loss+grad (forward + on-chip loss head +
+    backward in one pallas_call, ops/render_grad.fused_value_and_grad)
+    must match jax.value_and_grad of the unfused loss for every scoring
+    mode (fitness.weff_denom is their shared home)."""
+    import pytest
+
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops.objective import Objective
+
+    N, B = 24, 3
+    g = genome.new_population(key, B, N, H, W, min_scale=1.0, max_scale=0.3)
+    tgt = jax.random.uniform(jax.random.PRNGKey(4002), (H, W, 3))
+    wmask = jax.random.uniform(jax.random.PRNGKey(4003), (H, W))
+
+    for wm, boost in [(None, False), (wmask, False), (wmask, True)]:
+        obj = Objective(H=H, W=W, impl="pallas", interpret=True, boost_only=boost)
+        gnm = GenomeConfig(n_splats=N)
+        loss_fn = gradient.make_loss_fn(obj, gnm)
+        (l0, f0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(g, tgt, wm)
+        fused = gradient.make_value_and_grad(obj, gnm)
+        (l1, f1), g1 = fused(g, tgt, wm)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), rtol=1e-5, atol=1e-7)
+        scale = float(jnp.max(jnp.abs(g0))) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(g1) / scale, np.asarray(g0) / scale, atol=2e-6
+        )
+
+
+def test_fused_value_and_grad_chunked_fallback(key, monkeypatch):
+    """N above the SMEM chunk limit must fall back to the unfused path and
+    still produce identical values/grads."""
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops import render_pallas as rp
+    from ggs_tpu.ops.objective import Objective
+
+    monkeypatch.setattr(rp, "_MAX_SMEM_SPLATS", 8)
+    N, B = 13, 2
+    g = genome.new_population(key, B, N, H, W, min_scale=1.0, max_scale=0.3)
+    tgt = jax.random.uniform(jax.random.PRNGKey(4004), (H, W, 3))
+
+    obj = Objective(H=H, W=W, impl="pallas", interpret=True)
+    gnm = GenomeConfig(n_splats=N)
+    loss_fn = gradient.make_loss_fn(obj, gnm)
+    (l0, _), g0 = jax.value_and_grad(loss_fn, has_aux=True)(g, tgt, None)
+    (l1, _), g1 = gradient.make_value_and_grad(obj, gnm)(g, tgt, None)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-7)
