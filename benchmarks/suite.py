@@ -54,7 +54,7 @@ def bench_render(quick: bool):
     tgt = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3), dtype=jnp.float32)
     wm = jnp.ones((H, W), jnp.float32)
     rows = []
-    for prec in ["highest", "bf16"]:
+    for prec in ["highest", "fast", "bf16"]:
         f = jax.jit(lambda g, p=prec: fitness_pallas(g, tgt, wm, H, W, precision=p))
         dt = _time(lambda: f(g9), 2 if quick else 5)
         rows.append(

@@ -41,8 +41,9 @@ class Objective(NamedTuple):
     # "mse" (reference semantics) | "ssim" | "mix" (fused MSE/SSIM energy)
     metric: str = "mse"
     ssim_weight: float = 0.5
-    # "highest" = f32, oracle-exact; "bf16" = fast evolutionary mode
-    # (fused pallas path only)
+    # "highest" = f32, oracle-exact; "fast" = exp2/threshold walk (~5e-5
+    # canvas error, +8% — render_pallas._splat_feats_turbo); "bf16" =
+    # tested mode, not faster (fused pallas paths only)
     precision: str = "highest"
     # Pallas interpret mode (CPU tests of the fused paths)
     interpret: bool = False

@@ -66,6 +66,7 @@ def _render_padded(
     interpret: bool,
     bin_capacity: Optional[int] = None,
     init_p: Optional[jnp.ndarray] = None,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Screen-space splats (slab coords) -> padded canvas [B, 3, Hp, Wp].
 
@@ -78,7 +79,8 @@ def _render_padded(
     T = n_tx * n_ty
     cap = N if bin_capacity is None else min(bin_capacity, N)
 
-    feats = _splat_feats_fast(p)
+    turbo = precision == "fast"
+    feats = _splat_feats_turbo(p) if turbo else _splat_feats_fast(p)
     bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
     bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 
@@ -107,6 +109,7 @@ def _render_padded(
             background=background,
             unroll=unroll,
             has_init=init_p is not None,
+            turbo=turbo,
         ),
         grid=(B, T),
         in_specs=in_specs,
@@ -131,6 +134,7 @@ def _chunked_passes(
     interpret: bool,
     bin_capacity: Optional[int],
     keep_last: bool,
+    precision: str = "highest",
 ):
     """Split splats into SMEM-sized chunks. Returns (canvas_before_last,
     last_chunk_screen) when keep_last (for fused-fitness epilogues), else
@@ -146,7 +150,7 @@ def _chunked_passes(
             return img_p, pc
         img_p = _render_padded(
             pc, Hs, W, tile_h, tile_w, background, unroll, interpret,
-            bin_capacity=bin_capacity, init_p=img_p,
+            bin_capacity=bin_capacity, init_p=img_p, precision=precision,
         )
     return img_p, None
 
@@ -193,6 +197,49 @@ def _splat_feats_fast(p: codec.SplatScreen) -> jnp.ndarray:
     return jnp.concatenate([feats, sentinel], axis=2)
 
 
+_LOG2E = 1.4426950408889634
+
+
+def _splat_feats_turbo(p: codec.SplatScreen) -> jnp.ndarray:
+    """Fast-mode parameter table [B, 13, N+1] f32 (precision="fast").
+
+    Cuts ~4 VPU ops per (tile, splat) pair off the exact walk, at ~5e-5
+    max canvas error (tests/test_render_pallas.py::test_fast_mode):
+
+    * rows 2-4 fold -0.5*log2(e) (and -log2(e) for the cross term) into
+      the precision coefficients and row 8 holds log2(alpha), so the walk
+      computes f = exp2(nsxx*qx^2 + nsxy*qx*qy + nsyy*qy^2 + log2a) as
+      three FMAs + one exp2 — no separate *log2e and *alpha multiplies.
+      alpha = 0 (incl. the sentinel) maps to log2a = -inf => f = 0 exactly.
+    * rows 9-12 hold open-interval f32 thresholds (x0-1, x1+1, y0-1, y1+1):
+      for integer pixel coords, xf > x0-1 <=> xf >= x0, so the AABB mask
+      needs no integer pixel planes. Integer +-1 is exact in f32 (< 2^24).
+
+    Folding by log2(e) is NOT a power-of-two scale, so this mode is not
+    bit-exact vs ops/oracle.py — the default precision="highest"
+    (_splat_feats_fast) remains the bit-exact path.
+    """
+    B, N = p.cx.shape
+    log2a = jnp.where(
+        p.a > 0.0, jnp.log2(jnp.maximum(p.a, 1e-38)), -jnp.inf
+    )
+    feats = jnp.stack(
+        [
+            p.cx, p.cy,
+            (-0.5 * _LOG2E) * p.sxx, (-_LOG2E) * p.sxy, (-0.5 * _LOG2E) * p.syy,
+            p.rc, p.gc, p.bc, log2a,
+            p.x0.astype(jnp.float32) - 1.0, p.x1.astype(jnp.float32) + 1.0,
+            p.y0.astype(jnp.float32) - 1.0, p.y1.astype(jnp.float32) + 1.0,
+        ],
+        axis=1,
+    )
+    sentinel = jnp.zeros((B, _NFEAT, 1), jnp.float32)
+    sentinel = sentinel.at[:, 8, 0].set(-jnp.inf)  # f = exp2(-inf) = 0
+    sentinel = sentinel.at[:, _F_X0, 0].set(1e9)
+    sentinel = sentinel.at[:, _F_X1, 0].set(-1e9)
+    return jnp.concatenate([feats, sentinel], axis=2)
+
+
 def _bin_splats(
     p: codec.SplatScreen, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -228,7 +275,7 @@ def _bin_splats(
 
 def _composite_tile(
     cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
-    compute_dtype=jnp.float32, unroll=8, init_ref=None,
+    compute_dtype=jnp.float32, unroll=8, init_ref=None, turbo=False,
 ):
     """Shared hot loop: sequentially "over"-blend this tile's splat list
     onto the background. Returns the clamped (r, g, b) planes (f32).
@@ -246,6 +293,12 @@ def _composite_tile(
     flag, modules/render.py:213, 235) — kept as a tested mode though
     measured no faster on v5e (the VPU is f32-native); exact f32 is the
     default and matches the oracle bit-for-bit.
+
+    turbo=True consumes the _splat_feats_turbo table instead: exp2 with
+    log2e/log2-alpha folded into the parameters, open-interval f32
+    threshold mask, and a subtract-FMA blend C' = C + f*(c - C) — ~4 fewer
+    VPU issues per pair (+8% measured at 512 splats / 512^2, the walk is
+    vector-issue-bound, docs/DESIGN.md §2), ~5e-5 max canvas error.
     """
     t = pl.program_id(1)
     tx0 = (t % n_tx) * tile_w
@@ -259,7 +312,36 @@ def _composite_tile(
 
     cnt = cnt_ref[0, 0, 0, 0]
 
+    def blend_one_turbo(k, canvas):
+        cr, cg, cb = canvas
+        s = idx_ref[0, 0, 0, k]
+        cx = feats_ref[0, _F_CX, s]
+        cy = feats_ref[0, _F_CY, s]
+        nsxx = feats_ref[0, _F_SXX, s]  # -0.5*log2e*sxx
+        nsxy = feats_ref[0, _F_SXY, s]  # -log2e*sxy
+        nsyy = feats_ref[0, _F_SYY, s]  # -0.5*log2e*syy
+        rc = feats_ref[0, _F_R, s]
+        gc = feats_ref[0, _F_G, s]
+        bc = feats_ref[0, _F_B, s]
+        la = feats_ref[0, _F_A, s]  # log2(alpha); -inf when alpha = 0
+        x0 = feats_ref[0, _F_X0, s]  # open-interval thresholds (x0-1 etc.)
+        x1 = feats_ref[0, _F_X1, s]
+        y0 = feats_ref[0, _F_Y0, s]
+        y1 = feats_ref[0, _F_Y1, s]
+        qx = xf - cx
+        qy = yf - cy
+        f = jnp.exp2(nsxx * (qx * qx) + (nsxy * (qx * qy) + (nsyy * (qy * qy) + la)))
+        m = (xf > x0) & (xf < x1) & (yf > y0) & (yf < y1)
+        f = jnp.where(m, f, 0.0)
+        return (
+            cr + f * (rc - cr),
+            cg + f * (gc - cg),
+            cb + f * (bc - cb),
+        )
+
     def blend_one(k, canvas):
+        if turbo:
+            return blend_one_turbo(k, canvas)
         cr, cg, cb = canvas
         s = idx_ref[0, 0, 0, k]
         cx = feats_ref[0, _F_CX, s]
@@ -346,11 +428,12 @@ def _render_tile_kernel(
     background: Tuple[float, float, float],
     unroll: int = 8,
     has_init: bool = False,
+    turbo: bool = False,
 ):
     init_ref, out_ref = (refs[0], refs[1]) if has_init else (None, refs[0])
     cr, cg, cb = _composite_tile(
         cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
-        unroll=unroll, init_ref=init_ref,
+        unroll=unroll, init_ref=init_ref, turbo=turbo,
     )
     out_ref[0, 0] = cr
     out_ref[0, 1] = cg
@@ -371,6 +454,7 @@ def _fitness_tile_kernel(
     compute_dtype=jnp.float32,
     unroll: int = 8,
     has_init: bool = False,
+    turbo: bool = False,
 ):
     """Fused render + masked-MSE partial: the candidate canvas never leaves
     VMEM (BASELINE.md: on-chip fitness). All three scoring modes of
@@ -380,6 +464,7 @@ def _fitness_tile_kernel(
     cr, cg, cb = _composite_tile(
         cnt_ref, idx_ref, feats_ref, n_tx, tile_h, tile_w, background,
         compute_dtype=compute_dtype, unroll=unroll, init_ref=init_ref,
+        turbo=turbo,
     )
     w = weff_ref[:, :]
     dr = cr - target_ref[0]
@@ -393,7 +478,7 @@ def _fitness_tile_kernel(
     jax.jit,
     static_argnames=(
         "H", "W", "k_sigma", "background", "bin_capacity", "tile_h", "tile_w",
-        "interpret", "unroll",
+        "interpret", "unroll", "precision",
     ),
 )
 def render_pallas(
@@ -407,6 +492,7 @@ def render_pallas(
     tile_w: int = 128,
     interpret: bool = False,
     unroll: int = 8,
+    precision: str = "highest",  # "highest" (bit-exact) | "fast" (~5e-5)
 ) -> jnp.ndarray:
     """Render renderer-format genomes [B, N, 9] (or [N, 9]) -> [B, H, W, 3].
 
@@ -423,7 +509,7 @@ def render_pallas(
     p = codec.preprocess(g9, H, W, k_sigma)
     out, _ = _chunked_passes(
         p, H, W, tile_h, tile_w, tuple(float(c) for c in background),
-        unroll, interpret, bin_capacity, keep_last=False,
+        unroll, interpret, bin_capacity, keep_last=False, precision=precision,
     )
 
     img = jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1))
@@ -453,7 +539,9 @@ def fitness_pallas(
     tile_w: int = 128,
     interpret: bool = False,
     has_mask: Optional[bool] = None,  # derived; present for jit caching only
-    precision: str = "highest",  # "highest" (f32, oracle-exact) | "bf16" (fast)
+    # "highest" (f32, oracle-exact) | "fast" (exp2/threshold walk, ~5e-5,
+    # +8% — see _splat_feats_turbo) | "bf16" (tested mode, not faster)
+    precision: str = "highest",
     unroll: int = 8,
 ) -> jnp.ndarray:
     """Fused render+fitness: renderer genomes [B, N, 9] -> fitness [B].
@@ -484,12 +572,12 @@ def fitness_pallas(
     p = codec.preprocess(g9, H, W, k_sigma)
     init_p, p_last = _chunked_passes(
         p, H, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
-        keep_last=True,
+        keep_last=True, precision=precision,
     )
     num = _fitness_partials(
         p_last, target, w_eff, H, W, tile_h, tile_w, bgt,
         jnp.bfloat16 if precision == "bf16" else jnp.float32,
-        unroll, interpret, bin_capacity, init_p,
+        unroll, interpret, bin_capacity, init_p, precision=precision,
     )
     return num / denom
 
@@ -508,6 +596,7 @@ def _fitness_partials(
     interpret: bool,
     bin_capacity: Optional[int],
     init_p: Optional[jnp.ndarray],
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Fused composite + weighted-SSE for one (final) splat chunk -> [B]."""
     B, N = p.cx.shape
@@ -517,7 +606,8 @@ def _fitness_partials(
     Hp, Wp = n_ty * tile_h, n_tx * tile_w
     cap = N if bin_capacity is None else min(bin_capacity, N)
 
-    feats = _splat_feats_fast(p)
+    turbo = precision == "fast"
+    feats = _splat_feats_turbo(p) if turbo else _splat_feats_fast(p)
     bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
     bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 
@@ -561,6 +651,7 @@ def _fitness_partials(
             compute_dtype=compute_dtype,
             unroll=unroll,
             has_init=init_p is not None,
+            turbo=turbo,
         ),
         grid=(B, T),
         in_specs=in_specs,
@@ -595,7 +686,7 @@ def fitness_pallas_partial(
     tile_w: int = 128,
     interpret: bool = False,
     unroll: int = 8,
-    precision: str = "highest",  # "highest" (f32) | "bf16" (fast mode)
+    precision: str = "highest",  # "highest" (f32) | "fast" (~5e-5) | "bf16"
 ) -> jnp.ndarray:
     """Row-slab partial of the fused fitness: sum(dif^2 * w) over the slab.
 
@@ -625,13 +716,13 @@ def fitness_pallas_partial(
     bgt = tuple(float(c) for c in background)
     init_p, p_last = _chunked_passes(
         p, Hs, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
-        keep_last=True,
+        keep_last=True, precision=precision,
     )
     return _fitness_partials(
         p_last, target_slab.astype(jnp.float32), w_slab.astype(jnp.float32),
         Hs, W, tile_h, tile_w, bgt,
         jnp.bfloat16 if precision == "bf16" else jnp.float32, unroll, interpret,
-        bin_capacity, init_p,
+        bin_capacity, init_p, precision=precision,
     )
 
 

@@ -32,8 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--boost-only", action="store_true")
     p.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument(
-        "--precision", default="highest", choices=["highest", "bf16"],
-        help="bf16: ~1.5-2x faster fused evaluation (f32 stays oracle-exact)",
+        "--precision", default="highest", choices=["highest", "fast", "bf16"],
+        help="fast: +8%% fused evaluation at ~5e-5 canvas error (exp2 walk); "
+        "highest stays oracle-exact; bf16 is a tested mode, not faster",
     )
     p.add_argument("--metric", default="mse", choices=["mse", "ssim", "mix"])
     p.add_argument("--ssim-weight", type=float, default=0.5)

@@ -183,3 +183,35 @@ def test_fuzz_random_configs_match_oracle():
             np.asarray(a), np.asarray(b), atol=2e-6,
             err_msg=f"trial={trial} H={H} W={W} N={N} B={B}",
         )
+
+
+def test_fast_mode_close_to_oracle(key):
+    """precision="fast" (exp2/log2-alpha folding + open-interval threshold
+    mask, _splat_feats_turbo) must stay within ~1e-4 of the exact render,
+    including chained chunk passes and the fused fitness."""
+    from ggs_tpu.ops.render_pallas import fitness_pallas
+
+    H, W = 40, 200
+    g9 = _genomes(key, 3, 24, H, W)
+    ref = oracle.render_xla(g9, H, W)
+    got = render_pallas(g9, H, W, tile_h=16, interpret=True, precision="fast")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    tgt = jax.random.uniform(jax.random.PRNGKey(77), (H, W, 3))
+    f_exact = fitness_pallas(g9, tgt, None, H, W, tile_h=16, interpret=True)
+    f_fast = fitness_pallas(
+        g9, tgt, None, H, W, tile_h=16, interpret=True, precision="fast"
+    )
+    np.testing.assert_allclose(np.asarray(f_fast), np.asarray(f_exact), rtol=1e-4)
+
+
+def test_fast_mode_zero_alpha_and_sentinel(key):
+    """alpha = 0 splats must contribute exactly nothing in fast mode
+    (log2(alpha) = -inf => exp2 = 0), matching the exact kernel."""
+    g9 = _genomes(key, 1, 6, 32, 128)
+    g9 = g9.at[:, ::2, 8].set(0.0)  # kill alternating splats
+    ref = render_pallas(g9, 32, 128, interpret=True)
+    got = render_pallas(g9, 32, 128, interpret=True, precision="fast")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    only_live = render_pallas(g9[:, 1::2], 32, 128, interpret=True, precision="fast")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(only_live), atol=1e-6)
