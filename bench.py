@@ -34,8 +34,15 @@ def main() -> None:
     W = _env_int("GGS_BENCH_W", 512)
     N = _env_int("GGS_BENCH_N", 512)
     B = _env_int("GGS_BENCH_B", 256)
-    iters = _env_int("GGS_BENCH_ITERS", 8)
+    # 50+ iters with ONE final sync: the axon tunnel's value readback costs
+    # ~25 ms regardless of work, so short runs understate device throughput
+    # by ~8% (measured; docs/DESIGN.md §2 round-2 notes).
+    iters = _env_int("GGS_BENCH_ITERS", 50)
     impl = os.environ.get("GGS_BENCH_IMPL", "auto")
+    # Headline = the evolutionary evaluation mode (precision="fast": exp2
+    # walk, ~5e-6 relative fitness error, ranking-identical — see
+    # _splat_feats_turbo); the oracle-exact mode is reported alongside.
+    precision = os.environ.get("GGS_BENCH_PRECISION", "fast")
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -46,28 +53,33 @@ def main() -> None:
             print(f"[bench] pallas unavailable ({e}); falling back to xla", file=sys.stderr)
             impl = "xla"
 
-    obj = objective.Objective(H=H, W=W, impl=impl)
+    obj = objective.Objective(H=H, W=W, impl=impl, precision=precision)
+    obj_exact = objective.Objective(H=H, W=W, impl=impl)
     key = jax.random.PRNGKey(0)
     pop = genome.new_population(key, B, N, H, W)
     target = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3), dtype=jnp.float32)
     wm = mask_mod.compute_importance_mask(target, H, W, smooth=3, strength=0.7)
 
-    @jax.jit
-    def eval_fn(pop, target, wm):
-        return objective.evaluate(obj, pop, target, wm)
+    def timed(o):
+        @jax.jit
+        def eval_fn(pop, target, wm):
+            return objective.evaluate(o, pop, target, wm)
 
-    # Warmup / compile (kept out of timings, like the reference's prewarm,
-    # modules/utils.py:73-82). Sync by pulling a scalar: under the axon
-    # tunnel block_until_ready returns before execution finishes.
-    float(eval_fn(pop, target, wm).sum())
+        # Warmup / compile (kept out of timings, like the reference's
+        # prewarm, modules/utils.py:73-82). Sync by pulling a scalar: under
+        # the axon tunnel block_until_ready returns before execution ends.
+        float(eval_fn(pop, target, wm).sum())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = eval_fn(pop, target, wm)
+        float(out.sum())
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = eval_fn(pop, target, wm)
-    float(out.sum())
-    dt = time.perf_counter() - t0
-
+    dt = timed(obj)
     renders_per_s = (B * iters) / dt
+    exact_renders_per_s = (
+        (B * iters) / timed(obj_exact) if precision != "highest" else renders_per_s
+    )
     print(
         f"[bench] impl={impl} backend={jax.default_backend()} "
         f"B={B} N={N} {H}x{W} iters={iters} time={dt:.3f}s",
@@ -120,6 +132,8 @@ def main() -> None:
         # the 10k target is specified for v5p (BASELINE.md); this
         # records what the attached chip actually is
         "hardware": str(jax.devices()[0].device_kind),
+        "precision": precision,
+        "exact_renders_per_s": round(exact_renders_per_s, 2),
     }
     if grad_steps_per_s is not None:
         record[f"grad_adam_steps_per_s_{H}x{W}_{Ng}splats"] = round(grad_steps_per_s, 2)

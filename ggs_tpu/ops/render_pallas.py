@@ -240,8 +240,97 @@ def _splat_feats_turbo(p: codec.SplatScreen) -> jnp.ndarray:
     return jnp.concatenate([feats, sentinel], axis=2)
 
 
+def _prep_turbo_kernel(g_ref, ff_ref, fi_ref, *, maxx, maxy, k_sigma):
+    """Genome preprocess + fast-mode table build as ONE Pallas op.
+
+    Replaces the ~50-op XLA chain codec.preprocess -> _splat_feats_turbo,
+    which on the attached TPU costs ~1 ms of per-op dispatch latency per
+    call regardless of batch size (the small-B cliff, docs/DESIGN.md §2).
+    Everything is vectorized over splats on the VPU lanes; semantics match
+    codec.preprocess (modules/render.py:9-47) to ~1 ulp, which is inside
+    the fast mode's documented tolerance.
+
+    g_ref: (1, 9, N) renderer genome, param-major; ff_ref: (1, 13, N+1)
+    fast feats (see _splat_feats_turbo); fi_ref: (1, 4, N) i32 AABBs for
+    _bin_splats_xy.
+    """
+    g = g_ref[0]  # (9, N)
+    cx = jnp.clip(g[0:1], 0.0, 1.0) * maxx
+    cy = jnp.clip(g[1:2], 0.0, 1.0) * maxy
+    l11 = jnp.maximum(jnp.exp(g[2:3]), 1e-6)
+    l22 = jnp.maximum(jnp.exp(g[3:4]), 1e-6)
+    l21 = g[4:5]
+    hx = jnp.maximum(k_sigma * jnp.abs(l11), 1.0)
+    hy = jnp.maximum(k_sigma * (jnp.abs(l21) + jnp.abs(l22)), 1.0)
+    x0 = jnp.floor(jnp.clip(cx - hx, 0.0, maxx))
+    x1 = jnp.ceil(jnp.clip(cx + hx, 0.0, maxx))
+    y0 = jnp.floor(jnp.clip(cy - hy, 0.0, maxy))
+    y1 = jnp.ceil(jnp.clip(cy + hy, 0.0, maxy))
+    inv11 = 1.0 / l11
+    inv22 = 1.0 / l22
+    inv21 = -l21 * (inv11 * inv22)
+    nsxx = (-0.5 * _LOG2E) * (inv11 * inv11 + inv21 * inv21)
+    nsxy = (-_LOG2E) * (inv21 * inv22)
+    nsyy = (-0.5 * _LOG2E) * (inv22 * inv22)
+    rc = jnp.clip(g[5:6], 0.0, 255.0) * (1.0 / 255.0)
+    gc = jnp.clip(g[6:7], 0.0, 255.0) * (1.0 / 255.0)
+    bc = jnp.clip(g[7:8], 0.0, 255.0) * (1.0 / 255.0)
+    a = jnp.clip(g[8:9], 0.0, 255.0) * (1.0 / 255.0)
+    log2a = jnp.where(a > 0.0, jnp.log2(jnp.maximum(a, 1e-38)), -jnp.inf)
+
+    n = cx.shape[1]
+    rows = [
+        cx, cy, nsxx, nsxy, nsyy, rc, gc, bc, log2a,
+        x0 - 1.0, x1 + 1.0, y0 - 1.0, y1 + 1.0,
+    ]
+    for r, row in enumerate(rows):
+        ff_ref[0, r : r + 1, :n] = row
+    # sentinel column (splat N): exact no-op under the turbo walk
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (_NFEAT, 1), 0)
+    sent = jnp.where(r_ids == 8, -jnp.inf, 0.0)
+    sent = jnp.where((r_ids == 9) | (r_ids == 11), 1e9, sent)
+    sent = jnp.where((r_ids == 10) | (r_ids == 12), -1e9, sent)
+    ff_ref[0, :, n : n + 1] = sent
+    fi_ref[0, 0:1, :] = x0.astype(jnp.int32)
+    fi_ref[0, 1:2, :] = x1.astype(jnp.int32)
+    fi_ref[0, 2:3, :] = y0.astype(jnp.int32)
+    fi_ref[0, 3:4, :] = y1.astype(jnp.int32)
+
+
+def _prep_turbo_pallas(g9: jnp.ndarray, H: int, W: int, k_sigma: float, interpret: bool):
+    """[B, N, 9] renderer genomes -> (ff [B,13,N+1], fi [B,4,N] i32)."""
+    B, N, _ = g9.shape
+    g9T = jnp.transpose(g9, (0, 2, 1))
+    return pl.pallas_call(
+        functools.partial(
+            _prep_turbo_kernel,
+            maxx=float(W - 1), maxy=float(H - 1), k_sigma=float(k_sigma),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 9, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _NFEAT, N + 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, _NFEAT, N + 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 4, N), jnp.int32),
+        ],
+        interpret=interpret,
+    )(g9T)
+
+
 def _bin_splats(
     p: codec.SplatScreen, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """AABBs from a SplatScreen -> static-shape per-tile splat lists."""
+    return _bin_splats_xy(p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, tile_h, tile_w, cap)
+
+
+def _bin_splats_xy(
+    x0, x1, y0, y1, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """AABBs [B, N] -> (bin_idx [B, T, cap] int32 ascending, cnt [B, T] int32).
 
@@ -250,11 +339,11 @@ def _bin_splats(
     tile-major test so shapes stay static). Lists are index-sorted, padded
     with N (a sentinel the kernel never reads past cnt).
     """
-    B, N = p.x0.shape
-    tx0 = p.x0 // tile_w
-    tx1 = p.x1 // tile_w
-    ty0 = p.y0 // tile_h
-    ty1 = p.y1 // tile_h
+    B, N = x0.shape
+    tx0 = x0 // tile_w
+    tx1 = x1 // tile_w
+    ty0 = y0 // tile_h
+    ty1 = y1 // tile_h
 
     T = n_ty * n_tx
     t_ids = jnp.arange(T, dtype=jnp.int32)
@@ -569,6 +658,17 @@ def fitness_pallas(
         denom = jnp.sum(w_eff) + 1e-12
 
     bgt = tuple(float(c) for c in background)
+    if precision == "fast" and _cdiv(N, _MAX_SMEM_SPLATS) <= 1:
+        # Single-chunk fast path: preprocess + table build fused into one
+        # Pallas op (_prep_turbo_pallas) — skips the ~50-op XLA chain whose
+        # per-op dispatch latency costs ~1 ms/call on the attached TPU.
+        prep = _prep_turbo_pallas(g9, H, W, k_sigma, interpret)
+        num = _fitness_partials(
+            None, target, w_eff, H, W, tile_h, tile_w, bgt, jnp.float32,
+            unroll, interpret, bin_capacity, None, precision=precision,
+            prep=prep,
+        )
+        return num / denom
     p = codec.preprocess(g9, H, W, k_sigma)
     init_p, p_last = _chunked_passes(
         p, H, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
@@ -597,9 +697,13 @@ def _fitness_partials(
     bin_capacity: Optional[int],
     init_p: Optional[jnp.ndarray],
     precision: str = "highest",
+    prep: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
-    """Fused composite + weighted-SSE for one (final) splat chunk -> [B]."""
-    B, N = p.cx.shape
+    """Fused composite + weighted-SSE for one (final) splat chunk -> [B].
+
+    `prep` short-circuits table construction with (ff, fi) from
+    _prep_turbo_pallas (fast path) — p is then unused and may be None."""
+    B, N = (prep[0].shape[0], prep[0].shape[2] - 1) if prep is not None else p.cx.shape
     n_tx = _cdiv(W, tile_w)
     n_ty = _cdiv(Hs, tile_h)
     T = n_tx * n_ty
@@ -607,8 +711,15 @@ def _fitness_partials(
     cap = N if bin_capacity is None else min(bin_capacity, N)
 
     turbo = precision == "fast"
-    feats = _splat_feats_turbo(p) if turbo else _splat_feats_fast(p)
-    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+    if prep is not None:
+        ff, fi = prep
+        feats = ff
+        bin_idx, cnt = _bin_splats_xy(
+            fi[:, 0], fi[:, 1], fi[:, 2], fi[:, 3], n_tx, n_ty, tile_h, tile_w, cap
+        )
+    else:
+        feats = _splat_feats_turbo(p) if turbo else _splat_feats_fast(p)
+        bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
     bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 
     target_p = jnp.zeros((3, Hp, Wp), jnp.float32)
