@@ -18,21 +18,7 @@ import jax
 import numpy as np
 
 
-def save_checkpoint(path: str, state: Any, meta: Dict[str, Any] | None = None) -> None:
-    """Save a NamedTuple/pytree of arrays + JSON-able metadata atomically."""
-    leaves, treedef = jax.tree.flatten(state)
-
-    def to_np(x):
-        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
-            x = jax.random.key_data(x)  # typed PRNG key -> raw uint32 data
-        return np.asarray(jax.device_get(x))
-
-    arrays = {f"leaf_{i}": to_np(x) for i, x in enumerate(leaves)}
-    payload = {
-        "treedef": str(treedef),
-        "num_leaves": len(leaves),
-        "meta": meta or {},
-    }
+def _write_npz(path: str, arrays: Dict[str, np.ndarray], payload: Dict[str, Any]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
     try:
@@ -43,6 +29,59 @@ def save_checkpoint(path: str, state: Any, meta: Dict[str, Any] | None = None) -
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def _leaf_to_np(x):
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        x = jax.random.key_data(x)  # typed PRNG key -> raw uint32 data
+    return np.asarray(jax.device_get(x))
+
+
+def save_checkpoint(path: str, state: Any, meta: Dict[str, Any] | None = None) -> None:
+    """Save a NamedTuple/pytree of arrays + JSON-able metadata atomically."""
+    leaves, treedef = jax.tree.flatten(state)
+    arrays = {f"leaf_{i}": _leaf_to_np(x) for i, x in enumerate(leaves)}
+    payload = {
+        "treedef": str(treedef),
+        "num_leaves": len(leaves),
+        "meta": meta or {},
+    }
+    _write_npz(path, arrays, payload)
+
+
+def save_checkpoint_distributed(
+    path: str, state: Any, meta: Dict[str, Any] | None = None
+) -> None:
+    """Multi-host-safe save: shards that span processes are allgathered to
+    every host (one collective per sharded leaf), process 0 writes the
+    .npz atomically, and a global barrier orders the write before any
+    process proceeds — so a subsequent load on any host sees the file.
+    Resuming loads with load_checkpoint + parallel.shard.place_* (each
+    process re-places its own shards). Single-process, this degrades to
+    exactly save_checkpoint. Closes SURVEY §5's multi-host
+    checkpoint/restart gap; tested by tests/test_multiprocess.py.
+    """
+    from jax.experimental import multihost_utils
+
+    leaves, treedef = jax.tree.flatten(state)
+
+    def gather(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            x = jax.random.key_data(x)
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(jax.device_get(x))
+
+    arrays = {f"leaf_{i}": gather(x) for i, x in enumerate(leaves)}
+    payload = {
+        "treedef": str(treedef),
+        "num_leaves": len(leaves),
+        "meta": meta or {},
+    }
+    if jax.process_index() == 0:
+        _write_npz(path, arrays, payload)
+    if jax.process_count() > 1:
+        multihost_utils.sync_global_devices("ggs_ckpt_written:" + path)
 
 
 def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict[str, Any]]:
