@@ -86,7 +86,19 @@ def evaluate(
         if obj.metric != "mse":
             from . import ssim as ssim_mod
 
+            if impl == "pallas" and obj.mesh is not None and obj.pspec_imgs is not None:
+                out = _evaluate_metric_sharded(obj, g, target, weight_mask)
+                if out is not None:
+                    return out
             imgs = render_genomes(obj, g)
+            if obj.mesh is not None and obj.pspec_imgs is not None:
+                # GSPMD fallback (mesh doesn't divide the shapes): at least
+                # shard the candidate canvases instead of materializing
+                # them unpartitioned.
+                sharding = jax.sharding.NamedSharding(
+                    obj.mesh, jax.sharding.PartitionSpec(*obj.pspec_imgs)
+                )
+                imgs = jax.lax.with_sharding_constraint(imgs, sharding)
             w = 1.0 if obj.metric == "ssim" else obj.ssim_weight
             return ssim_mod.mixed_energy(
                 imgs, target, weight_mask=weight_mask, ssim_weight=w,
@@ -144,6 +156,93 @@ def evaluate(
     g_chunks = g_axes.reshape(n_chunks, obj.chunk, *g_axes.shape[1:])
     fits = jax.lax.map(eval_batch, g_chunks)
     return fits.reshape(Bp)[:B]
+
+
+def _evaluate_metric_sharded(
+    obj: Objective,
+    g_axes: jnp.ndarray,
+    target: jnp.ndarray,
+    weight_mask: Optional[jnp.ndarray],
+) -> Optional[jnp.ndarray]:
+    """shard_map'd SSIM/mix energy over the (pop, tile) mesh.
+
+    The 11x11 SSIM window straddles row-slab boundaries, so each device
+    renders its own canvas rows (render_rows_pallas — exact shifted slabs)
+    and receives the NEXT device's first 10 rows by lax.ppermute (a ring
+    halo exchange over the tile axis, for both the candidate slab and the
+    target slab). The valid-window SSIM partials and the weighted-SSE
+    partials then psum over the tile axis; no candidate canvas ever
+    materializes whole. Bottom-edge windows that would read past the
+    canvas (the wrap of the ring) are masked inside ssim.ssim_sum_rows, so
+    the result equals the unsharded ssim.mixed_energy to reduction
+    rounding (tests/test_sharding.py::test_metric_sharded_matches_image_path).
+    Returns None when the shapes don't divide the mesh or a slab is
+    shorter than the halo (caller falls back to the GSPMD image route).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from . import render_pallas, ssim as ssim_mod
+
+    mesh = obj.mesh
+    pop_ax, tile_ax = obj.pspec_imgs[0], obj.pspec_imgs[1]
+    npop = mesh.shape[pop_ax]
+    ntile = mesh.shape[tile_ax]
+    B = g_axes.shape[0]
+    H, W = obj.H, obj.W
+    win = 11
+    halo = win - 1
+    if B % npop != 0 or H % ntile != 0:
+        return None
+    Hs = H // ntile
+    if Hs < halo or W < win or H < win:
+        return None
+    wmix = 1.0 if obj.metric == "ssim" else obj.ssim_weight
+
+    def local(g_ax, tgt_rows, w_rows):
+        g9 = codec.genome_to_renderer(g_ax)
+        y0 = (jax.lax.axis_index(tile_ax) * Hs).astype(jnp.int32)
+        imgs = render_pallas.render_rows_pallas(
+            g9, H, W, y0, Hs,
+            k_sigma=obj.k_sigma, background=tuple(obj.background),
+            bin_capacity=obj.bin_capacity, interpret=obj.interpret,
+            precision=obj.precision if obj.precision == "fast" else "highest",
+        )
+        w_eff, denom = fitness.sharded_weff_denom(
+            w_rows, obj.boost_only, obj.boost_beta, H, W, tile_ax
+        )
+        d2 = jnp.sum((imgs - tgt_rows[None]) ** 2, axis=-1)
+        num = jnp.sum(d2 if w_eff is None else d2 * w_eff[None], axis=(1, 2))
+        mse = jax.lax.psum(num, tile_ax) / denom
+        if wmix <= 0.0:
+            return mse
+        perm = [(i, (i - 1) % ntile) for i in range(ntile)]
+        halo_img = jax.lax.ppermute(imgs[:, :halo], tile_ax, perm)
+        halo_tgt = jax.lax.ppermute(tgt_rows[:halo], tile_ax, perm)
+        imgs_ext = jnp.concatenate([imgs, halo_img], axis=1)
+        tgt_ext = jnp.concatenate([tgt_rows, halo_tgt], axis=0)
+        ssum = ssim_mod.ssim_sum_rows(imgs_ext, tgt_ext, y0, H, window_size=win)
+        n_windows = float((H - win + 1) * (W - win + 1) * 3)
+        dssim_e = (1.0 - jax.lax.psum(ssum, tile_ax) / n_windows) / 2.0
+        if obj.metric == "ssim":
+            return dssim_e
+        return (1.0 - wmix) * mse + wmix * dssim_e
+
+    g_spec = P(pop_ax) if B % npop == 0 else P()
+    if weight_mask is None:
+        return jax.shard_map(
+            lambda g, t: local(g, t, None),
+            mesh=mesh,
+            in_specs=(g_spec, P(tile_ax)),
+            out_specs=g_spec,
+            check_vma=False,  # pallas_call can't declare varying-axes metadata
+        )(g_axes, target)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(g_spec, P(tile_ax), P(tile_ax)),
+        out_specs=g_spec,
+        check_vma=False,
+    )(g_axes, target, weight_mask)
 
 
 def _evaluate_fused_sharded(

@@ -837,6 +837,49 @@ def fitness_pallas_partial(
     )
 
 
+def render_rows_pallas(
+    g9: jnp.ndarray,
+    H: int,
+    W: int,
+    y_origin: jnp.ndarray,  # int32 scalar: global row of slab row 0
+    out_rows: int,
+    k_sigma: float = 3.0,
+    background: Sequence[float] = (1.0, 1.0, 1.0),
+    bin_capacity: Optional[int] = None,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    interpret: bool = False,
+    unroll: int = 8,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Render `out_rows` canvas rows starting at y_origin -> [B, rows, W, 3].
+
+    The image-producing sibling of fitness_pallas_partial (same exact
+    row-shift argument): the row-slab building block for sharded metrics
+    that need the canvas itself (e.g. the halo-exchange SSIM partial,
+    ops/objective._evaluate_metric_sharded). Rows beyond the global canvas
+    (y_origin + r >= H) render as background — callers mask them.
+    """
+    if g9.ndim == 2:
+        g9 = g9[None]
+    g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
+
+    p = codec.preprocess(g9, H, W, k_sigma)
+    yo_i = y_origin.astype(p.y0.dtype)
+    p = p._replace(
+        cy=p.cy - y_origin.astype(jnp.float32),
+        y0=p.y0 - yo_i,
+        y1=p.y1 - yo_i,
+    )
+    th = next((t for t in (64, 32, 16, 8) if out_rows % t == 0), None)
+    tile_h = th if th is not None else tile_h
+    out, _ = _chunked_passes(
+        p, out_rows, W, tile_h, tile_w, tuple(float(c) for c in background),
+        unroll, interpret, bin_capacity, keep_last=False, precision=precision,
+    )
+    return jnp.transpose(out[:, :, :out_rows, :W], (0, 2, 3, 1))
+
+
 def max_bin_count(
     g9: jnp.ndarray, H: int, W: int, k_sigma: float = 3.0, tile_h: int = 16, tile_w: int = 128
 ) -> jnp.ndarray:

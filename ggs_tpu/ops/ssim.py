@@ -55,28 +55,62 @@ def ssim(
     sigma: float = 1.5,
     data_range: float = 1.0,
 ) -> jnp.ndarray:
-    """imgs [B, H, W, 3], target [H, W, 3] -> mean SSIM [B] in [-1, 1]."""
+    """imgs [B, H, W, 3], target [H, W, 3] -> mean SSIM [B] in [-1, 1].
+
+    Variance estimates are clamped to >= 0 inside _ssim_map: true variances
+    are nonnegative, and the residual f32 cancellation otherwise let the
+    SSIM denominator cross zero (the pole a GA then exploits)."""
     win = _gaussian_window(window_size, sigma)
     t = jnp.broadcast_to(target[None], imgs.shape)
+    s = _ssim_map(imgs, t, win, data_range)
+    return jnp.mean(s, axis=(1, 2, 3))
 
+
+def _ssim_map(imgs: jnp.ndarray, t: jnp.ndarray, win: jnp.ndarray, data_range: float):
+    """Per-window-position SSIM map [B, Ho, Wo, C] (valid positions)."""
     c1 = (_K1 * data_range) ** 2
     c2 = (_K2 * data_range) ** 2
-
     mu_x = _filter2(imgs, win)
     mu_y = _filter2(t, win)
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y
     mu_xy = mu_x * mu_y
-    # True variances are nonnegative; clamp away the residual f32
-    # cancellation so the denominator can never cross zero.
     sig_xx = jnp.maximum(_filter2(imgs * imgs, win) - mu_xx, 0.0)
     sig_yy = jnp.maximum(_filter2(t * t, win) - mu_yy, 0.0)
     sig_xy = _filter2(imgs * t, win) - mu_xy
-
-    s = ((2 * mu_xy + c1) * (2 * sig_xy + c2)) / (
+    return ((2 * mu_xy + c1) * (2 * sig_xy + c2)) / (
         (mu_xx + mu_yy + c1) * (sig_xx + sig_yy + c2)
     )
-    return jnp.mean(s, axis=(1, 2, 3))
+
+
+def ssim_sum_rows(
+    imgs_ext: jnp.ndarray,
+    target_ext: jnp.ndarray,
+    y0,
+    H: int,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    data_range: float = 1.0,
+) -> jnp.ndarray:
+    """Row-slab SSIM partial: sum of the SSIM map over this slab's valid
+    window rows -> [B].
+
+    The tile-sharded building block (ops/objective._evaluate_metric_sharded):
+    `imgs_ext`/`target_ext` hold the device's `rows` owned canvas rows PLUS
+    `window_size - 1` halo rows below (the image halo arrives by ppermute
+    from the next device; the target's comes from a replicated padded
+    slice). The valid conv then yields exactly `rows` output rows, of which
+    row r is globally valid iff y0 + r <= H - window_size — rows past that
+    (only the bottom device has any) are masked before the sum, so
+    psum(partials) / ((H-w+1)(W-w+1)C) equals the unsharded mean SSIM
+    exactly (window sums never cross a slab boundary thanks to the halo).
+    """
+    win = _gaussian_window(window_size, sigma)
+    t = jnp.broadcast_to(target_ext[None], imgs_ext.shape)
+    s = _ssim_map(imgs_ext, t, win, data_range)  # [B, rows, W-w+1, C]
+    rows = s.shape[1]
+    valid = (jnp.arange(rows) + y0) <= (H - window_size)
+    return jnp.sum(s * valid[None, :, None, None], axis=(1, 2, 3))
 
 
 def dssim(imgs: jnp.ndarray, target: jnp.ndarray, **kw) -> jnp.ndarray:

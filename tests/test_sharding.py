@@ -206,3 +206,38 @@ def test_fused_sharded_with_chunked_eval(key):
         shard.place_mask(wm, m),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_metric_sharded_matches_image_path(key):
+    """The shard_map'd SSIM/mix path (row-slab renders + ppermute halo
+    exchange + psum'd window partials, objective._evaluate_metric_sharded)
+    must agree with the unsharded image-route energies for both metrics
+    and all mask modes. H=32 over ntile=2 gives 16-row slabs (> the 10-row
+    halo) so windows genuinely straddle the slab boundary."""
+    Hm = Wm = 32
+    m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
+    gnm = GenomeConfig(n_splats=8, min_scale=1.0, max_scale=0.3)
+    pop = genome.new_population(key, 8, 8, Hm, Wm, gnm.min_scale, gnm.max_scale)
+    tg = genome.new_population(
+        jax.random.PRNGKey(2006), 1, 8, Hm, Wm, gnm.min_scale, gnm.max_scale
+    )[0]
+    target = oracle.render_xla(codec.genome_to_renderer(tg), Hm, Wm)
+    wm = jnp.linspace(0.3, 1.0, Hm)[:, None] * jnp.ones((Hm, Wm))
+
+    for metric in ("ssim", "mix"):
+        for mask in (None, wm):
+            base = objective.Objective(
+                H=Hm, W=Wm, impl="pallas", interpret=True, metric=metric,
+                ssim_weight=0.5,
+            )
+            ref = objective.evaluate(base._replace(impl="xla"), pop, target, mask)
+            obj_s = shard.sharded_objective(base, m)
+            got = jax.jit(lambda p, t, w, o=obj_s: objective.evaluate(o, p, t, w))(
+                jax.device_put(pop, mesh_mod.pop_sharding(m)),
+                shard.place_target(target, m),
+                shard.place_mask(mask, m),
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6,
+                err_msg=f"metric={metric} mask={'yes' if mask is not None else 'no'}",
+            )
