@@ -330,7 +330,9 @@ def _make_screen_render(
         p = _screen(arrs)
         feats = _splat_feats(p)  # [B, 13, N]
         feats = jnp.concatenate([feats, jnp.zeros((B, _NFEAT, 1), jnp.float32)], axis=2)
-        bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+        bin_idx, cnt = _bin_splats(
+            p, n_tx, n_ty, tile_h, tile_w, cap, interpret, pad_slots=40
+        )
         if cap_pad > cap:
             bin_idx = jnp.concatenate(
                 [bin_idx, jnp.full((B, T, cap_pad - cap), N, jnp.int32)], axis=-1
@@ -520,7 +522,9 @@ def _make_screen_lossgrad(
         )
         feats = _splat_feats(p)  # raw layout: the backward differentiates it
         feats = jnp.concatenate([feats, jnp.zeros((B, _NFEAT, 1), jnp.float32)], axis=2)
-        bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+        bin_idx, cnt = _bin_splats(
+            p, n_tx, n_ty, tile_h, tile_w, cap, interpret, pad_slots=40
+        )
         if cap_pad > cap:
             bin_idx = jnp.concatenate(
                 [bin_idx, jnp.full((B, T, cap_pad - cap), N, jnp.int32)], axis=-1

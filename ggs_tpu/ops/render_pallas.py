@@ -3,12 +3,15 @@
 TPU-native replacement for the reference's Triton kernel + torch binning
 (modules/render.py:51-200), redesigned for XLA static shapes:
 
-* Binning (pure XLA, `_bin_splats`): each splat's k-sigma AABB is mapped to
-  a tile range; a [B, T, N] overlap matrix is compacted per tile into a
-  fixed-capacity, ascending-index splat list (ascending = painter order,
-  the same stable grouping the reference gets from its int64 sort key,
-  render.py:106-110). Capacity defaults to N, which provably never drops a
-  contributing splat (SURVEY.md §7 "binning under static shapes").
+* Binning (`_bin_splats`): each splat's k-sigma AABB is mapped to a tile
+  range and compacted into fixed-capacity, ascending-index splat lists
+  (ascending = painter order, the same stable grouping the reference gets
+  from its int64 sort key, render.py:106-110). Capacity defaults to N,
+  which provably never drops a contributing splat (SURVEY.md §7). Small
+  canvases use a dense [B, T, N] overlap matrix + lax.sort (vector-
+  friendly); T >= 256 switches to a two-level pair-scatter Pallas kernel
+  whose work scales with actual pairs (see _bin_splats_xy) — at 4k^2 the
+  dense sort was 92% of a render step.
 
 * Kernel (`_render_tile_kernel`): grid (batch, tile). Each program owns one
   (tile_h x tile_w) canvas block in VMEM — disjoint ownership, no atomics,
@@ -37,6 +40,9 @@ from . import codec
 _F_CX, _F_CY, _F_SXX, _F_SXY, _F_SYY, _F_R, _F_G, _F_B, _F_A = range(9)
 _F_X0, _F_X1, _F_Y0, _F_Y1 = 9, 10, 11, 12
 _NFEAT = 13
+
+_SCATTER_PAD = 8  # sentinel slots past cnt (forward walks read <= cnt+unroll-1;
+# the grad path passes 40: its chunk-aligned walks read <= cnt+31)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -81,7 +87,7 @@ def _render_padded(
 
     turbo = precision == "fast"
     feats = _splat_feats_turbo(p) if turbo else _splat_feats_fast(p)
-    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap, interpret)
     bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 
     in_specs = [
@@ -323,14 +329,19 @@ def _prep_turbo_pallas(g9: jnp.ndarray, H: int, W: int, k_sigma: float, interpre
 
 
 def _bin_splats(
-    p: codec.SplatScreen, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int
+    p: codec.SplatScreen, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int,
+    interpret: bool = False, pad_slots: int = _SCATTER_PAD,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """AABBs from a SplatScreen -> static-shape per-tile splat lists."""
-    return _bin_splats_xy(p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, tile_h, tile_w, cap)
+    return _bin_splats_xy(
+        p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, tile_h, tile_w, cap, interpret,
+        pad_slots,
+    )
 
 
 def _bin_splats_xy(
-    x0, x1, y0, y1, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int
+    x0, x1, y0, y1, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int,
+    interpret: bool = False, pad_slots: int = _SCATTER_PAD,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """AABBs [B, N] -> (bin_idx [B, T, cap] int32 ascending, cnt [B, T] int32).
 
@@ -338,7 +349,26 @@ def _bin_splats_xy(
     per-splat tile-range expansion, render.py:59-66, inverted to a
     tile-major test so shapes stay static). Lists are index-sorted, padded
     with N (a sentinel the kernel never reads past cnt).
+
+    Two implementations with bit-identical outputs (tests/test_render_pallas
+    ::test_scatter_binning_matches_dense), dispatched on tile count:
+
+    * dense (default): [B, T, N] overlap matrix compacted by lax.sort.
+      O(B*T*N log^2 N) — fine up to ~1024^2 canvases, and the matrix is
+      vectorized work the VPU eats at large B.
+    * scatter (T >= 256): a scalar Pallas kernel walks splats in painter
+      order and appends each to its covered tiles' SMEM lists — work is
+      proportional to actual (tile, splat) PAIRS, like the reference's
+      pair expansion (render.py:59-66), not T*N. At 4k^2 / 8k-splat chunks
+      the dense sort costs ~16 ms/chunk (~92% of a render step); scatter
+      is pair-bound (<1 ms). Ascending append order == the sort's output;
+      overflow beyond cap keeps the first cap indices, same as the dense
+      truncation rule.
     """
+    if n_tx * n_ty >= 256:
+        return _bin_splats_scatter(
+            x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap, interpret, pad_slots
+        )
     B, N = x0.shape
     tx0 = x0 // tile_w
     tx1 = x1 // tile_w
@@ -360,6 +390,261 @@ def _bin_splats_xy(
     bin_idx = jax.lax.sort(order, dimension=-1)[..., :cap]
     cnt = jnp.minimum(jnp.sum(ov, axis=-1, dtype=jnp.int32), cap)
     return bin_idx, cnt
+
+
+
+
+_N_COARSE = 8  # coarse row-bands for two-level scatter (fits SMEM lists)
+
+
+def _coarse_bin_kernel(
+    rng_ref,  # (1, 4, N) SMEM i32
+    gl_ref,  # (1, _N_COARSE, cap_g) SMEM i32 out: band splat lists
+    gcnt_ref,  # (1, _N_COARSE, 1) SMEM i32 out
+    *,
+    rpt: int,  # tile rows per coarse band
+    n_ty: int,
+    cap_g: int,
+    N: int,
+):
+    """Level 1 of the two-level scatter: one walk of all N splats appends
+    each to the list of every coarse row-band (rpt tile rows) it touches —
+    ascending order preserved. Level 2 then walks only its band's list."""
+
+    def z(i, _):
+        gcnt_ref[0, i, 0] = 0
+        return 0
+
+    jax.lax.fori_loop(0, _N_COARSE, z, 0)
+
+    def per_splat(s, _):
+        a = jnp.maximum(rng_ref[0, 2, s], 0) // rpt
+        b = jnp.minimum(rng_ref[0, 3, s], n_ty - 1) // rpt
+
+        def band(c, _):
+            q = gcnt_ref[0, c, 0]
+
+            @pl.when(q < cap_g)
+            def _():
+                gl_ref[0, c, q] = s
+
+            gcnt_ref[0, c, 0] = q + 1
+            return 0
+
+        # b < a (splat above/below the canvas) -> no iterations
+        jax.lax.fori_loop(a, b + 1, band, 0)
+        return 0
+
+    jax.lax.fori_loop(0, N, per_splat, 0)
+
+    def clamp(i, _):
+        gcnt_ref[0, i, 0] = jnp.minimum(gcnt_ref[0, i, 0], cap_g)
+        return 0
+
+    jax.lax.fori_loop(0, _N_COARSE, clamp, 0)
+
+
+def _scatter_bin_kernel(
+    rng_ref,  # (1, 4, N) SMEM i32: tx0, tx1, ty0, ty1 (tile coords)
+    *refs,  # [gl_ref (1, _N_COARSE, cap_g), gcnt_ref (1, _N_COARSE, 1) if coarse,] idx
+    n_tx: int,
+    rpg: int,
+    cap: int,
+    N: int,
+    coarse: bool = False,
+    rpt: int = 0,
+    cap_g: int = 0,
+    pad_slots: int = _SCATTER_PAD,
+):
+    """Pair-scatter binning for one (batch, tile-row-group) cell.
+
+    Pure scalar-core kernel: walks splats in ascending (painter) order and
+    appends each to the SMEM list of every covered tile in this group's
+    rows — O(pairs), the reference's per-splat tile-range expansion
+    (render.py:59-66) without the torch sort. With `coarse`, the walk runs
+    over this group's coarse-band list (from _coarse_bin_kernel) instead
+    of all N splats, so total scalar work across groups is ~2x the actual
+    pair count rather than n_groups * N.
+
+    idx_ref layout: column 0 of each tile row holds the running count
+    (SMEM lane-pads a separate (tiles, 1) output 128x, blowing the SMEM
+    budget); list entries start at column 1. Slots past cnt are only ever
+    read up to the walk kernels' unroll/chunk overshoot, so only
+    _SCATTER_PAD sentinel entries are written (the rest of the block is
+    dead data).
+    """
+    if coarse:
+        gl_ref, gcnt_ref, idx_ref = refs
+    else:
+        gl_ref = gcnt_ref = None
+        (idx_ref,) = refs
+    g = pl.program_id(1)
+    gy0 = g * rpg
+    tiles = rpg * n_tx
+
+    def z(i, _):
+        idx_ref[0, i, 0] = 0
+        return 0
+
+    jax.lax.fori_loop(0, tiles, z, 0)
+
+    if coarse:
+        band = (g * rpg) // rpt
+        n_walk = gcnt_ref[0, band, 0]
+        get = lambda k: gl_ref[0, band, k]  # noqa: E731
+    else:
+        n_walk = N
+        get = lambda k: k  # noqa: E731
+
+    def per_splat(k, _):
+        s = get(k)
+        a = jnp.maximum(rng_ref[0, 2, s] - gy0, 0)
+        b = jnp.minimum(rng_ref[0, 3, s] - gy0, rpg - 1)
+        tx0 = rng_ref[0, 0, s]
+        tx1 = rng_ref[0, 1, s]
+
+        def row(r, _):
+            base = r * n_tx
+
+            def col(c, _):
+                tl = base + c
+                q = idx_ref[0, tl, 0]
+
+                @pl.when(q < cap)
+                def _():
+                    idx_ref[0, tl, q + 1] = s
+
+                idx_ref[0, tl, 0] = q + 1
+                return 0
+
+            return jax.lax.fori_loop(tx0, tx1 + 1, col, 0)
+
+        jax.lax.fori_loop(a, b + 1, row, 0)  # empty when the splat misses
+        return 0
+
+    jax.lax.fori_loop(0, n_walk, per_splat, 0)
+
+    def finish(i, _):
+        q = jnp.minimum(idx_ref[0, i, 0], cap)
+        idx_ref[0, i, 0] = q
+
+        def w(j, _):
+            idx_ref[0, i, j + 1] = N
+            return 0
+
+        jax.lax.fori_loop(q, jnp.minimum(q + pad_slots, cap), w, 0)
+        return 0
+
+    jax.lax.fori_loop(0, tiles, finish, 0)
+
+
+def _bin_splats_scatter(
+    x0, x1, y0, y1, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int,
+    interpret: bool = False, pad_slots: int = _SCATTER_PAD,
+    smem_budget: int = 176 * 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pair-proportional binning (see _bin_splats_xy). Tiles are processed
+    in row-band groups sized so each group's lists fit SMEM; the per-tile
+    capacity is additionally bounded by that SMEM budget (generous: ~2k
+    splats per tile per splat-chunk at 4k^2) — entries past it truncate
+    exactly like the dense path's cap truncation, keeping the first cap
+    splats in painter order."""
+    B, N = x0.shape
+    rng = jnp.stack(
+        [x0 // tile_w, x1 // tile_w, y0 // tile_h, y1 // tile_h], axis=1
+    ).astype(jnp.int32)
+
+    budget = smem_budget  # SMEM bytes for one group's lists (2x buffered)
+    cap_s = min(cap, max(64, budget // (n_tx * 4)))
+    rpg = max(1, budget // (n_tx * cap_s * 4))
+    rpg = min(rpg, n_ty)
+    if _cdiv(n_ty, rpg) > _N_COARSE:
+        # Cap the group count at _N_COARSE so each fine group IS one
+        # coarse band (re-walk factor 1 in the two-level scatter); the
+        # per-tile capacity shrinks to fit the bigger group in SMEM but
+        # stays generous per splat-chunk (e.g. 256 at 4k^2 / 8k splats).
+        rpg = _cdiv(n_ty, _N_COARSE)
+        cap_s = min(cap, max(64, budget // (rpg * n_tx * 4)))
+    # Mosaic block constraint: the idx block's second-to-last dim (tiles
+    # per group) must divide by 8 unless there is only one group.
+    while rpg < n_ty and _cdiv(n_ty, rpg) > 1 and (rpg * n_tx) % 8 != 0:
+        rpg += 1
+    n_groups = _cdiv(n_ty, rpg)
+    tiles = rpg * n_tx
+    T = n_ty * n_tx
+
+    in_specs = [
+        pl.BlockSpec((1, 4, N), lambda b, g: (b, 0, 0), memory_space=pltpu.SMEM)
+    ]
+    args = [rng]
+    # With many groups, a single-level scatter re-walks all N splats per
+    # group (n_groups * N tests dominate). Two-level: one coarse walk bins
+    # splats into <= _N_COARSE row-band lists; each fine group then walks
+    # only its band's list, making total work ~2x the pair count.
+    cap_g = _cdiv(N, 128) * 128  # >= N (lossless) and lane-aligned
+    two_level = n_groups > 1 and cap_g <= 8192
+    if two_level:
+        rpt = rpg * _cdiv(n_groups, _N_COARSE)  # tile rows per coarse band
+        gl, gcnt = pl.pallas_call(
+            functools.partial(
+                _coarse_bin_kernel, rpt=rpt, n_ty=n_ty, cap_g=cap_g, N=N
+            ),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, 4, N), lambda b: (b, 0, 0), memory_space=pltpu.SMEM)
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, _N_COARSE, cap_g), lambda b: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, _N_COARSE, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, _N_COARSE, cap_g), jnp.int32),
+                jax.ShapeDtypeStruct((B, _N_COARSE, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(rng)
+        in_specs += [
+            pl.BlockSpec(
+                (1, _N_COARSE, cap_g), lambda b, g: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, _N_COARSE, 1), lambda b, g: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ]
+        args += [gl, gcnt]
+
+    (idx1,) = pl.pallas_call(
+        functools.partial(
+            _scatter_bin_kernel, n_tx=n_tx, rpg=rpg, cap=cap_s, N=N,
+            coarse=two_level, rpt=rpt if two_level else 0,
+            cap_g=cap_g if two_level else 0, pad_slots=pad_slots,
+        ),
+        grid=(B, n_groups),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, tiles, cap_s + 1), lambda b, g: (b, g, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_groups * tiles, cap_s + 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*args)
+    idx = idx1[:, :T, 1:]
+    cnt = idx1[:, :T, 0]
+    if cap_s < cap:
+        idx = jnp.concatenate(
+            [idx, jnp.full((B, T, cap - cap_s), N, jnp.int32)], axis=-1
+        )
+    return idx, cnt
 
 
 def _composite_tile(
@@ -715,11 +1000,12 @@ def _fitness_partials(
         ff, fi = prep
         feats = ff
         bin_idx, cnt = _bin_splats_xy(
-            fi[:, 0], fi[:, 1], fi[:, 2], fi[:, 3], n_tx, n_ty, tile_h, tile_w, cap
+            fi[:, 0], fi[:, 1], fi[:, 2], fi[:, 3], n_tx, n_ty, tile_h, tile_w,
+            cap, interpret,
         )
     else:
         feats = _splat_feats_turbo(p) if turbo else _splat_feats_fast(p)
-        bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap)
+        bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap, interpret)
     bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 
     target_p = jnp.zeros((3, Hp, Wp), jnp.float32)

@@ -215,3 +215,76 @@ def test_fast_mode_zero_alpha_and_sentinel(key):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
     only_live = render_pallas(g9[:, 1::2], 32, 128, interpret=True, precision="fast")
     np.testing.assert_allclose(np.asarray(got), np.asarray(only_live), atol=1e-6)
+
+
+def test_scatter_binning_matches_dense(key):
+    """The pair-scatter Pallas binning (large-canvas path) must reproduce
+    the dense sort-compaction exactly: same counts, same ascending lists
+    below cnt, sentinel window above, including the cap-truncation rule."""
+    from ggs_tpu.ops.render_pallas import (
+        _SCATTER_PAD, _bin_splats_scatter, _bin_splats_xy, _cdiv,
+    )
+
+    H, W = 96, 256
+    n_tx, n_ty, th, tw = 2, 6, 16, 128
+    g9 = _genomes(key, 2, 40, H, W, max_scale=0.5)
+    from ggs_tpu.ops import codec as codec_mod
+
+    p = codec_mod.preprocess(g9, H, W, 3.0)
+    for cap in (40, 8):  # lossless and truncating
+        di, dc = _bin_splats_xy(p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, th, tw, cap)
+        si, sc = _bin_splats_scatter(
+            p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, th, tw, cap, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(dc), np.asarray(sc))
+        di, si, dc = np.asarray(di), np.asarray(si), np.asarray(dc)
+        for b in range(di.shape[0]):
+            for t in range(di.shape[1]):
+                c = dc[b, t]
+                np.testing.assert_array_equal(si[b, t, :c], di[b, t, :c])
+                pad_end = min(c + _SCATTER_PAD, cap)
+                assert (si[b, t, c:pad_end] == 40).all()
+
+
+def test_scatter_binning_negative_rows(key):
+    """Row-slab shifts can push AABBs to negative tile rows (the sharded
+    partial paths); scatter must match dense there too."""
+    from ggs_tpu.ops.render_pallas import _bin_splats_scatter, _bin_splats_xy
+    from ggs_tpu.ops import codec as codec_mod
+
+    H, W = 64, 128
+    g9 = _genomes(key, 1, 24, H, W, max_scale=0.5)
+    p = codec_mod.preprocess(g9, H, W, 3.0)
+    y0s, y1s = p.y0 - 32, p.y1 - 32  # shift half the canvas up
+    di, dc = _bin_splats_xy(p.x0, p.x1, y0s, y1s, 1, 2, 16, 128, 24)
+    si, sc = _bin_splats_scatter(
+        p.x0, p.x1, y0s, y1s, 1, 2, 16, 128, 24, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(dc), np.asarray(sc))
+    di, si, dc = np.asarray(di), np.asarray(si), np.asarray(dc)
+    for t in range(di.shape[1]):
+        c = dc[0, t]
+        np.testing.assert_array_equal(si[0, t, :c], di[0, t, :c])
+
+
+def test_scatter_binning_two_level(key):
+    """A tiny SMEM budget forces the two-level (coarse band -> fine group)
+    scatter; lists must still match dense exactly."""
+    from ggs_tpu.ops import codec as codec_mod
+    from ggs_tpu.ops.render_pallas import _bin_splats_scatter, _bin_splats_xy
+
+    H, W = 512, 128
+    n_tx, n_ty, th, tw = 1, 32, 16, 128
+    g9 = _genomes(key, 2, 64, H, W, max_scale=0.3)
+    p = codec_mod.preprocess(g9, H, W, 3.0)
+    di, dc = _bin_splats_xy(p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, th, tw, 64)
+    si, sc = _bin_splats_scatter(
+        p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, th, tw, 64,
+        interpret=True, smem_budget=2048,  # forces > _N_COARSE raw groups
+    )
+    np.testing.assert_array_equal(np.asarray(dc), np.asarray(sc))
+    di, si, dc = np.asarray(di), np.asarray(si), np.asarray(dc)
+    for b in range(di.shape[0]):
+        for t in range(di.shape[1]):
+            c = dc[b, t]
+            np.testing.assert_array_equal(si[b, t, :c], di[b, t, :c])
