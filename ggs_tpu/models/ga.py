@@ -259,6 +259,7 @@ def genetic_approx(
     return_state: bool = False,
     recycle_every: int = 0,
     recycle_k: int = 0,
+    stall_patience: int = 0,
 ):
     """Host driver: full GA run with curves/frames/checkpoints.
 
@@ -426,6 +427,12 @@ def genetic_approx(
                     sigma_fac=f"{f:.3f}",
                     gens_s=f"{gens_per_s:.1f}",
                 )
+            # Stall-triggered stage end (--grow-auto): the generation step
+            # already tracks no_improve on device; a stage that hasn't
+            # improved its best for `stall_patience` generations ends so
+            # the caller can grow capacity instead of burning budget.
+            if stall_patience and int(jax.device_get(state.no_improve)) >= stall_patience:
+                break
     except KeyboardInterrupt:
         print("\n[Interrupted] Returning current best individual…", flush=True)
     finally:

@@ -63,6 +63,19 @@ def build_parser() -> argparse.ArgumentParser:
         "residual pixels (models/grow.py), up to --n-splats in the final stage",
     )
     p.add_argument(
+        "--grow-auto", action="store_true",
+        help="stall-triggered growth: start at n-splats/8 and double the "
+        "budget whenever the best fitness stalls for --grow-patience "
+        "generations, instead of --grow-stages' fixed schedule. Uses the "
+        "on-device no_improve counter; remaining --generations go to the "
+        "full-size final stage",
+    )
+    p.add_argument(
+        "--grow-patience", type=int, default=1500,
+        help="generations without best-fitness improvement that end a "
+        "grow-auto stage",
+    )
+    p.add_argument(
         "--progressive", default="",
         help="comma-separated work sides for coarse-to-fine stages, e.g. "
         "'128,256,512' (overrides --work-max-side; --generations split "
@@ -77,10 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     parser = build_parser()
     args = parser.parse_args(argv)
-    if args.progressive and args.grow_stages > 1:
-        parser.error("--progressive and --grow-stages are mutually exclusive; "
-                     "run progressive first, then a grow run warm-started from "
-                     "its genome (--resume / pipeline)")
+    if args.progressive and (args.grow_stages > 1 or args.grow_auto):
+        parser.error("--progressive and --grow-stages/--grow-auto are mutually "
+                     "exclusive; run progressive first, then a grow run "
+                     "warm-started from its genome (--resume / pipeline)")
+    if args.grow_auto and args.grow_stages > 1:
+        parser.error("--grow-auto replaces --grow-stages' fixed schedule; "
+                     "pass only one of them")
 
     from ggs_tpu.config import GAConfig, GenomeConfig, MaskConfig
     from ggs_tpu.models import ga
@@ -130,7 +146,7 @@ def main(argv=None) -> None:
         mesh = mesh_mod.make_mesh(args.pop_shards, args.tile_shards)
         print(f"mesh: pop={args.pop_shards} x tile={args.tile_shards}")
 
-    def run_stage(Hs, Ws, stage_cfg, init_pop, last, tag, gnm_s=None):
+    def run_stage(Hs, Ws, stage_cfg, init_pop, last, tag, gnm_s=None, patience=0):
         return ga.genetic_approx(
             target,
             Hs,
@@ -160,6 +176,7 @@ def main(argv=None) -> None:
             return_state=not last,
             recycle_every=args.recycle_every,
             recycle_k=args.recycle_k,
+            stall_patience=patience,
         )
 
     if args.progressive:
@@ -194,6 +211,61 @@ def main(argv=None) -> None:
                 prev = (Hs, Ws)
                 print(f"stage {i} ({Hs}x{Ws}): best MSE {stage_fit:.6f}")
         H, W = Hs, Ws
+    elif args.grow_auto:
+        # Stall-triggered growth (VERDICT round-1 item): no hand-tuned
+        # stage schedule — each stage runs until the on-device no_improve
+        # counter says the best fitness has stalled for --grow-patience
+        # generations, then the budget doubles via error-guided growth
+        # (models/grow.py) until --n-splats; whatever generations remain
+        # fund the full-size final stage.
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from ggs_tpu.config import GenomeConfig
+        from ggs_tpu.models import grow
+        from ggs_tpu.ops import mask as mask_mod
+        from ggs_tpu.utils import io as io_mod2
+
+        t_work = io_mod2.ensure_hw(jnp.asarray(target), H, W)
+        wm = mask_mod.compute_importance_mask(
+            t_work, H, W, smooth=mask_cfg.smooth, strength=mask_cfg.strength
+        )
+        key = jax.random.PRNGKey(args.seed + 101)
+        n_i = max(8, args.n_splats // 8)
+        gens_left = args.generations
+        pop0 = None
+        stage = 0
+        while True:
+            last = n_i >= args.n_splats
+            # A growth stage ends on stall OR at half the remaining budget,
+            # whichever comes first — the final full-size stage (the one
+            # with the most parameters to settle) always keeps at least
+            # half of whatever is left.
+            stage_gens = max(1, gens_left if last else gens_left // 2)
+            stage_cfg = dataclasses.replace(ga_cfg, generations=stage_gens)
+            out = run_stage(
+                H, W, stage_cfg, pop0, last, "" if last else f"_a{stage}",
+                GenomeConfig(n_splats=n_i), patience=0 if last else args.grow_patience,
+            )
+            if last:
+                best, best_fit, _ = out
+                break
+            _, stage_fit, curves_s, pop0 = out
+            used = len(curves_s["best"])
+            gens_left = max(1, gens_left - used)
+            n_next = min(2 * n_i, args.n_splats)
+            print(
+                f"grow-auto stage {stage} (N={n_i}): best {stage_fit:.6f} "
+                f"after {used} gens -> growing to {n_next}"
+            )
+            key, k_g = jax.random.split(key)
+            pop0 = grow.grow_population(
+                k_g, jnp.asarray(pop0), n_next - n_i, t_work, obj, weight_mask=wm
+            )
+            n_i = n_next
+            stage += 1
     elif args.grow_stages > 1:
         # Error-guided splat growth (models/grow.py): fit small budgets
         # first, then append splats where each candidate's residual is

@@ -31,7 +31,13 @@ def main(argv=None) -> None:
     p.add_argument("--n-splats", type=int, default=512)
     p.add_argument("--pop-size", type=int, default=32)
     p.add_argument("--ga-generations", type=int, default=100_000)
+    p.add_argument(
+        "--grow-mode", default="auto", choices=["auto", "stages"],
+        help="auto (default): stall-triggered growth (run_ga --grow-auto, "
+        "no hand-tuned schedule); stages: the fixed --grow-stages plan",
+    )
     p.add_argument("--grow-stages", type=int, default=4)
+    p.add_argument("--grow-patience", type=int, default=1500)
     p.add_argument("--recycle-every", type=int, default=10_000)
     p.add_argument("--recycle-k", type=int, default=0, help="0 = n-splats/16")
     p.add_argument("--adam-steps", type=int, default=800)
@@ -49,11 +55,14 @@ def main(argv=None) -> None:
     ga_args = common + [
         "--pop-size", str(args.pop_size),
         "--generations", str(args.ga_generations),
-        "--grow-stages", str(args.grow_stages),
         "--recycle-every", str(args.recycle_every),
         "--recycle-k", str(recycle_k),
         "--log-every", "1000",
     ]
+    if args.grow_mode == "auto":
+        ga_args += ["--grow-auto", "--grow-patience", str(args.grow_patience)]
+    else:
+        ga_args += ["--grow-stages", str(args.grow_stages)]
     if args.no_video:
         ga_args.append("--no-video")
     run_ga.main(ga_args)

@@ -116,3 +116,33 @@ def test_init_pop_warm_start(key):
     clamped = codec.clamp_genome(pop_big, H, W, GNM.min_scale, GNM.max_scale)
     np.testing.assert_array_equal(np.asarray(st.pop), np.asarray(clamped))
     assert float(st.best_fit) == float(st.fits.min())
+
+
+def test_stall_patience_ends_run_early(tmp_path, key):
+    """stall_patience must end the run once the on-device no_improve
+    counter crosses it at a block boundary (the --grow-auto stage
+    trigger). A constant target that the tiny population can't improve on
+    for long stalls almost immediately; the driver must stop well short
+    of the 200-generation budget. patience=1 fires at the first block
+    boundary where any generation failed to improve the best."""
+    import jax.numpy as jnp
+
+    target = jnp.zeros((H, W, 3), jnp.float32)  # all-black: stalls fast
+    cfg = GAConfig(pop_size=4, generations=200, elite_k=1)
+    _, _, curves = ga.genetic_approx(
+        target,
+        H,
+        W,
+        obj=OBJ,
+        ga=cfg,
+        gnm=GNM,
+        seed=3,
+        log_every=10,
+        loss_png_path=str(tmp_path / "loss.png"),
+        loss_csv_path=str(tmp_path / "loss.csv"),
+        progress=False,
+        stall_patience=1,
+    )
+    gens_run = len(curves["best"]) - 1  # first entry is the init eval
+    assert gens_run < 200, gens_run
+    assert gens_run >= 10  # full blocks only
