@@ -233,6 +233,36 @@ def bench_big(quick: bool):
     ]
 
 
+def bench_canvas4k(quick: bool):
+    """Large-canvas render: 50k splats -> 4k^2 (quick: 20k -> 2048^2).
+    Exercises the pair-scatter Pallas binning (docs/DESIGN.md §12) that
+    replaces the dense [B,T,N] sort above 256 tiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggs_tpu.models import genome
+    from ggs_tpu.ops import codec
+    from ggs_tpu.ops.render_pallas import render_pallas
+
+    H = W = 2048 if quick else 4096
+    N = 20_000 if quick else 50_000
+    g9 = codec.genome_to_renderer(
+        genome.new_population(
+            jax.random.PRNGKey(0), 1, N, H, W, min_scale=1.0, max_scale=0.02
+        )
+    )
+    f = jax.jit(lambda g: render_pallas(g, H, W))
+    dt = _time(lambda: f(g9), 2 if quick else 5)
+    return [
+        {
+            "config": "canvas-4k",
+            "metric": "full-canvas renders/s",
+            "value": round(1.0 / dt, 2),
+            "detail": f"N={N} {H}x{W} scatter binning, chained chunk passes",
+        }
+    ]
+
+
 BENCHES = {
     "render": bench_render,
     "sa": bench_sa,
@@ -240,6 +270,7 @@ BENCHES = {
     "grad": bench_grad,
     "memetic": bench_memetic,
     "big": bench_big,
+    "canvas4k": bench_canvas4k,
 }
 
 
