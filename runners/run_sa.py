@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask-strength", type=float, default=0.7)
     p.add_argument("--boost-only", action="store_true")
     p.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument(
+        "--precision", default="highest", choices=["highest", "fast", "bf16"],
+        help="fast: +8%% fused evaluation at ~5e-5 canvas error (exp2 walk)",
+    )
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--no-video", action="store_true")
@@ -75,7 +79,8 @@ def main(argv=None) -> None:
     print(f"target {H_out}x{W_out} -> work {H}x{W}")
 
     obj = Objective(
-        H=H, W=W, k_sigma=args.k_sigma, boost_only=args.boost_only, impl=args.impl
+        H=H, W=W, k_sigma=args.k_sigma, boost_only=args.boost_only,
+        impl=args.impl, precision=args.precision,
     )
     sa_cfg = SAConfig(
         iterations=args.iterations,
