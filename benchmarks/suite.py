@@ -56,7 +56,8 @@ def bench_render(quick: bool):
     rows = []
     for prec in ["highest", "fast", "bf16"]:
         f = jax.jit(lambda g, p=prec: fitness_pallas(g, tgt, wm, H, W, precision=p))
-        dt = _time(lambda: f(g9), 2 if quick else 5)
+        # >= 50 iters: one ~25 ms readback amortizes (DESIGN.md 8b)
+        dt = _time(lambda: f(g9), 10 if quick else 50)
         rows.append(
             {
                 "config": f"render-512-{prec}",
@@ -151,7 +152,7 @@ def bench_grad(quick: bool):
     g0 = genome.new_population(jax.random.PRNGKey(0), 1, N, H, W)
     state = gradient.init_state(opt, g0)
     run = gradient.make_run_block(obj, gnm, cfg)
-    iters = 5 if quick else 20
+    iters = 20 if quick else 100
     state, m = run(state, tgt, None, iters)  # compile at the same static length
     _sync(m)  # the axon tunnel dispatches async: un-synced warmup bleeds into the timing
     t0 = time.perf_counter()
@@ -222,7 +223,7 @@ def bench_big(quick: bool):
     g9 = codec.genome_to_renderer(genome.new_population(jax.random.PRNGKey(0), B, N, H, W))
     tgt = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3), dtype=jnp.float32)
     f = jax.jit(lambda g: fitness_pallas(g, tgt, None, H, W))
-    dt = _time(lambda: f(g9), 2 if quick else 5)
+    dt = _time(lambda: f(g9), 5 if quick else 20)
     return [
         {
             "config": "big-10k-1024",
@@ -252,7 +253,7 @@ def bench_canvas4k(quick: bool):
         )
     )
     f = jax.jit(lambda g: render_pallas(g, H, W))
-    dt = _time(lambda: f(g9), 2 if quick else 5)
+    dt = _time(lambda: f(g9), 5 if quick else 20)
     return [
         {
             "config": "canvas-4k",

@@ -112,7 +112,7 @@ def _bwd_tile_kernel(
 
         jax.lax.fori_loop(0, n1, z, 0)
         if fused:
-            num_ref[0, 0] = 0.0
+            num_ref[0, 0, 0] = 0.0
 
     tx0 = (t % n_tx) * tile_w
     ty0 = (t // n_tx) * tile_h
@@ -193,7 +193,7 @@ def _bwd_tile_kernel(
         dr = jnp.clip(fr, 0.0, 1.0) - tgt_ref[0, 0]
         dg = jnp.clip(fg, 0.0, 1.0) - tgt_ref[0, 1]
         db = jnp.clip(fb, 0.0, 1.0) - tgt_ref[0, 2]
-        num_ref[0, 0] += jnp.sum(w * (dr * dr + dg * dg + db * db))
+        num_ref[0, 0, 0] += jnp.sum(w * (dr * dr + dg * dg + db * db))
         sw = scale * w
         g0 = sw * dr
         g1 = sw * dg
@@ -559,11 +559,15 @@ def _make_screen_lossgrad(
                 pl.BlockSpec((1, 1), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1), lambda b, t: (b, 0), memory_space=pltpu.SMEM),
+                # (1, 1, 1) over (B, 1, 1): Mosaic requires the last TWO
+                # block dims to divide (8, 128) or equal the array dims —
+                # a 2-D (1, 1) block over (B, 1) fails that for B > 1
+                # (only caught when COMPILED; interpret mode accepts it).
+                pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, _NGRAD, N1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
                 jax.ShapeDtypeStruct((B, _NGRAD, N1), jnp.float32),
             ],
             scratch_shapes=[
@@ -573,7 +577,7 @@ def _make_screen_lossgrad(
             ],
             interpret=interpret,
         )(cnt[:, :, None, None], bin_idx[:, :, None, :], feats, tgt, w, sc)
-        return num[:, 0], grads[:, :, :N]  # drop the sentinel row
+        return num[:, 0, 0], grads[:, :, :N]  # drop the sentinel row
 
     return run
 
