@@ -569,6 +569,9 @@ def _bin_splats_scatter(
     # per group) must divide by 8 unless there is only one group.
     while rpg < n_ty and _cdiv(n_ty, rpg) > 1 and (rpg * n_tx) % 8 != 0:
         rpg += 1
+    # The bump can grow the group, so re-fit the per-tile capacity to the
+    # SMEM budget (otherwise odd n_tx widths could 8x past it).
+    cap_s = min(cap_s, max(64, budget // (rpg * n_tx * 4)))
     n_groups = _cdiv(n_ty, rpg)
     tiles = rpg * n_tx
     T = n_ty * n_tx

@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--precision", default="highest", choices=["highest", "fast", "bf16"],
         help="fast: +8%% fused evaluation at ~5e-5 canvas error (exp2 walk)",
     )
+    p.add_argument("--metric", default="mse", choices=["mse", "ssim", "mix"])
+    p.add_argument("--ssim-weight", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--no-video", action="store_true")
@@ -81,6 +83,7 @@ def main(argv=None) -> None:
     obj = Objective(
         H=H, W=W, k_sigma=args.k_sigma, boost_only=args.boost_only,
         impl=args.impl, precision=args.precision,
+        metric=args.metric, ssim_weight=args.ssim_weight,
     )
     sa_cfg = SAConfig(
         iterations=args.iterations,
@@ -119,8 +122,9 @@ def main(argv=None) -> None:
         swap_every=args.swap_every,
         t_hot=args.t_hot,
     )
-    print("SA Best MSE:", best_fit)
-    if best_fit > 0:
+    label = "MSE" if args.metric == "mse" else f"energy ({args.metric})"
+    print(f"SA Best {label}:", best_fit)
+    if best_fit > 0 and args.metric == "mse":
         import math
 
         print(f"PSNR: {-10.0 * math.log10(best_fit):.2f} dB")
