@@ -260,6 +260,7 @@ def genetic_approx(
     recycle_every: int = 0,
     recycle_k: int = 0,
     stall_patience: int = 0,
+    weight_mask=None,
 ):
     """Host driver: full GA run with curves/frames/checkpoints.
 
@@ -294,18 +295,25 @@ def genetic_approx(
     mask_cfg = mask_cfg if mask_cfg is not None else MaskConfig()
 
     target = io_mod.ensure_hw(jnp.asarray(target_img), H, W)
-    weight_mask = mask_mod.compute_importance_mask(
-        target,
-        H,
-        W,
-        edge_scales=tuple(mask_cfg.edge_scales),
-        w_edge=mask_cfg.w_edge,
-        w_var=mask_cfg.w_var,
-        gamma=mask_cfg.gamma,
-        floor=mask_cfg.floor,
-        smooth=mask_cfg.smooth,
-        strength=mask_cfg.strength,
-    )
+    if weight_mask is None:
+        weight_mask = mask_mod.compute_importance_mask(
+            target,
+            H,
+            W,
+            edge_scales=tuple(mask_cfg.edge_scales),
+            w_edge=mask_cfg.w_edge,
+            w_var=mask_cfg.w_var,
+            gamma=mask_cfg.gamma,
+            floor=mask_cfg.floor,
+            smooth=mask_cfg.smooth,
+            strength=mask_cfg.strength,
+        )
+    else:
+        # Caller-fixed mask (e.g. run_ga --fixed-mask: one mask computed at
+        # the final resolution and resized per stage, so progressive stages
+        # share one fitness landscape instead of re-deriving it per stage).
+        weight_mask = jnp.asarray(weight_mask, jnp.float32)
+        assert weight_mask.shape == (H, W), (weight_mask.shape, (H, W))
 
     if mesh is not None:
         from ..parallel import shard as shard_mod

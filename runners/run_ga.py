@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
         "grow-auto stage",
     )
     p.add_argument(
+        "--fixed-mask", action="store_true",
+        help="with --progressive: compute the importance mask ONCE at the "
+        "final resolution and bilinearly downsample it for each stage, so "
+        "all stages share one fitness landscape (the round-1 negative "
+        "result blamed per-stage mask changes; docs/DESIGN.md 9)",
+    )
+    p.add_argument(
         "--progressive", default="",
         help="comma-separated work sides for coarse-to-fine stages, e.g. "
         "'128,256,512' (overrides --work-max-side; --generations split "
@@ -146,7 +153,8 @@ def main(argv=None) -> None:
         mesh = mesh_mod.make_mesh(args.pop_shards, args.tile_shards)
         print(f"mesh: pop={args.pop_shards} x tile={args.tile_shards}")
 
-    def run_stage(Hs, Ws, stage_cfg, init_pop, last, tag, gnm_s=None, patience=0):
+    def run_stage(Hs, Ws, stage_cfg, init_pop, last, tag, gnm_s=None, patience=0,
+                  weight_mask=None):
         return ga.genetic_approx(
             target,
             Hs,
@@ -177,6 +185,7 @@ def main(argv=None) -> None:
             recycle_every=args.recycle_every,
             recycle_k=args.recycle_k,
             stall_patience=patience,
+            weight_mask=weight_mask,
         )
 
     if args.progressive:
@@ -191,6 +200,17 @@ def main(argv=None) -> None:
 
         stages = [int(s) for s in args.progressive.split(",") if s]
         gens_per = max(1, args.generations // len(stages))
+        base_mask = None
+        if args.fixed_mask:
+            import jax
+            from ggs_tpu.ops import mask as mask_mod
+            from ggs_tpu.utils import io as io_mod2
+
+            Hf, Wf = codec.choose_work_size(H_out, W_out, max_side=stages[-1])
+            t_final = io_mod2.ensure_hw(jnp.asarray(target), Hf, Wf)
+            base_mask = mask_mod.compute_importance_mask(
+                t_final, Hf, Wf, smooth=mask_cfg.smooth, strength=mask_cfg.strength
+            )
         pop0 = None
         prev = None
         for i, side in enumerate(stages):
@@ -203,7 +223,18 @@ def main(argv=None) -> None:
                 )
             last = i == len(stages) - 1
             stage_cfg = dataclasses.replace(ga_cfg, generations=gens_per)
-            out = run_stage(Hs, Ws, stage_cfg, pop0, last, "" if last else f"_s{i}")
+            wm_s = None
+            if base_mask is not None:
+                import jax
+
+                wm_s = jax.image.resize(
+                    base_mask, (Hs, Ws), method="bilinear",
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            out = run_stage(
+                Hs, Ws, stage_cfg, pop0, last, "" if last else f"_s{i}",
+                weight_mask=wm_s,
+            )
             if last:
                 best, best_fit, _ = out
             else:

@@ -146,3 +146,25 @@ def test_stall_patience_ends_run_early(tmp_path, key):
     gens_run = len(curves["best"]) - 1  # first entry is the init eval
     assert gens_run < 200, gens_run
     assert gens_run >= 10  # full blocks only
+
+
+def test_explicit_weight_mask_override(tmp_path, key):
+    """genetic_approx(weight_mask=...) must use the caller's mask instead
+    of computing one (the --fixed-mask progressive path). A mask that
+    zeroes the right half makes right-half-only error free, so the best
+    energy differs from the computed-mask run on the same seed."""
+    import jax.numpy as jnp
+
+    target = _target(key)
+    cfg = GAConfig(pop_size=4, generations=12, elite_k=1)
+    half = jnp.concatenate(
+        [jnp.ones((H, W // 2)), jnp.zeros((H, W // 2))], axis=1
+    )
+    kw = dict(
+        obj=OBJ, ga=cfg, gnm=GNM, seed=5, log_every=6,
+        loss_png_path=str(tmp_path / "l.png"),
+        loss_csv_path=str(tmp_path / "l.csv"), progress=False,
+    )
+    _, fit_half, _ = ga.genetic_approx(target, H, W, weight_mask=half, **kw)
+    _, fit_auto, _ = ga.genetic_approx(target, H, W, **kw)
+    assert fit_half != fit_auto
