@@ -81,3 +81,80 @@ def test_ssim_bounded_on_tpu(key):
     s = np.asarray(s)
     assert np.all(s <= 1.0 + 1e-5) and np.all(s >= -1.0 - 1e-5), s
     assert s[0] > 0.999  # self-similarity
+
+
+def test_compiled_fast_mode_close_and_ranking_stable(key):
+    """precision="fast" COMPILED (exp2 folding + Pallas prep kernel): stays
+    within the documented ~5e-5 of the exact render and preserves the
+    fitness ranking of a candidate batch."""
+    H, W = 96, 160
+    g = genome.new_population(key, 16, 48, H, W, 1.0, 0.4)
+    g9 = codec.genome_to_renderer(g)
+    exact = _on_tpu(lambda g: rp.render_pallas(g, H, W), g9)
+    fast = _on_tpu(lambda g: rp.render_pallas(g, H, W, precision="fast"), g9)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=2e-4)
+
+    tgt = _on_tpu(
+        lambda k: jax.random.uniform(k, (H, W, 3), jnp.float32), jax.random.PRNGKey(1)
+    )
+    fe = _on_tpu(lambda g, t: rp.fitness_pallas(g, t, None, H, W), g9, tgt)
+    ff = _on_tpu(
+        lambda g, t: rp.fitness_pallas(g, t, None, H, W, precision="fast"), g9, tgt
+    )
+    assert (np.argsort(np.asarray(fe)) == np.argsort(np.asarray(ff))).all()
+
+
+def test_compiled_scatter_binning_bitexact_render(key):
+    """Above 256 tiles the pair-scatter binning engages; the compiled
+    render must be bit-identical to one produced from dense lists."""
+    H, W = 1024, 2048  # 8x16 tiles of 128x128? -> 16x16=256 at 64x128
+    g = genome.new_population(key, 1, 64, H, W, 1.0, 0.1)
+    g9 = codec.genome_to_renderer(g)
+    auto = _on_tpu(lambda g: rp.render_pallas(g, H, W), g9)  # scatter path
+
+    p = codec.preprocess(g9, H, W, 3.0)
+    n_tx, n_ty = W // 128, H // 64
+    si, sc = _on_tpu(
+        lambda *a: rp._bin_splats_scatter(*a, n_tx, n_ty, 64, 128, 64),
+        p.x0, p.x1, p.y0, p.y1,
+    )
+    T = n_tx * n_ty
+    t_ids = jnp.arange(T, dtype=jnp.int32)
+    t_x = (t_ids % n_tx)[None, :, None]
+    t_y = (t_ids // n_tx)[None, :, None]
+    ov = (
+        ((p.x0 // 128)[:, None, :] <= t_x) & ((p.x1 // 128)[:, None, :] >= t_x)
+        & ((p.y0 // 64)[:, None, :] <= t_y) & ((p.y1 // 64)[:, None, :] >= t_y)
+    )
+    order = jnp.where(ov, jnp.arange(64, dtype=jnp.int32)[None, None, :], jnp.int32(64))
+    di = jax.lax.sort(order, dimension=-1)
+    dc = jnp.sum(ov, axis=-1, dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(dc))
+    si_n, di_n, dc_n = np.asarray(si), np.asarray(di), np.asarray(dc)
+    for t in range(T):
+        c = dc_n[0, t]
+        np.testing.assert_array_equal(si_n[0, t, :c], di_n[0, t, :c])
+    assert np.isfinite(np.asarray(auto)).all()
+
+
+def test_compiled_fused_loss_grad_batched(key):
+    """The fused single-kernel loss+grad must COMPILE and match the plain
+    VJP at B>1 (a (1,1)-block-over-(B,1) Mosaic constraint once compiled
+    fine at B=1 and failed at B=8 — interpret mode does not catch it)."""
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops.objective import Objective
+
+    H = W = 64
+    N, B = 24, 8
+    g = genome.new_population(key, B, N, H, W, 1.0, 0.4)
+    tgt = _on_tpu(
+        lambda k: jax.random.uniform(k, (H, W, 3), jnp.float32), jax.random.PRNGKey(1)
+    )
+    obj = Objective(H=H, W=W, impl="pallas")
+    gnm = GenomeConfig(n_splats=N)
+    (l1, f1), g1 = _on_tpu(gradient.make_value_and_grad(obj, gnm), g, tgt, None)
+    loss_fn = gradient.make_loss_fn(obj, gnm)
+    (l0, f0), g0 = _on_tpu(jax.value_and_grad(loss_fn, has_aux=True), g, tgt, None)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)
