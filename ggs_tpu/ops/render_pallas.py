@@ -545,10 +545,10 @@ def _bin_splats_scatter(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pair-proportional binning (see _bin_splats_xy). Tiles are processed
     in row-band groups sized so each group's lists fit SMEM; the per-tile
-    capacity is additionally bounded by that SMEM budget (generous: ~2k
-    splats per tile per splat-chunk at 4k^2) — entries past it truncate
-    exactly like the dense path's cap truncation, keeping the first cap
-    splats in painter order."""
+    capacity is additionally bounded by that SMEM budget (e.g. 176 per
+    tile per 8k-splat chunk at 4k^2 — ~8x the average occupancy there) —
+    entries past it truncate exactly like the dense path's cap
+    truncation, keeping the first cap splats in painter order."""
     B, N = x0.shape
     rng = jnp.stack(
         [x0 // tile_w, x1 // tile_w, y0 // tile_h, y1 // tile_h], axis=1
@@ -587,7 +587,9 @@ def _bin_splats_scatter(
     cap_g = _cdiv(N, 128) * 128  # >= N (lossless) and lane-aligned
     two_level = n_groups > 1 and cap_g <= 8192
     if two_level:
-        rpt = rpg * _cdiv(n_groups, _N_COARSE)  # tile rows per coarse band
+        # n_groups <= _N_COARSE by construction above, so coarse bands
+        # coincide with fine groups (re-walk factor 1).
+        rpt = rpg
         gl, gcnt = pl.pallas_call(
             functools.partial(
                 _coarse_bin_kernel, rpt=rpt, n_ty=n_ty, cap_g=cap_g, N=N
