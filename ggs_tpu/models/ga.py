@@ -120,7 +120,10 @@ def step(
 ) -> Tuple[GAState, jnp.ndarray]:
     """One generation. Returns (state, [best, mean, median] of the new pop)."""
     P = state.pop.shape[0]
-    E = max(1, ga.elite_k)
+    # Clamp so elitism always leaves at least one offspring slot (an
+    # elite_k >= pop_size config otherwise crashes top_k / freezes the
+    # population — caught by the run_pipeline CLI smoke test).
+    E = max(1, min(ga.elite_k, P - 1)) if P > 1 else 1
     key, k_off = jax.random.split(state.key)
     gen = state.gen + 1
 

@@ -30,6 +30,7 @@ def main(argv=None) -> None:
     p.add_argument("--work-max-side", type=int, default=512)
     p.add_argument("--n-splats", type=int, default=512)
     p.add_argument("--pop-size", type=int, default=32)
+    p.add_argument("--elite-k", type=int, default=8)
     p.add_argument("--ga-generations", type=int, default=100_000)
     p.add_argument(
         "--grow-mode", default="auto", choices=["auto", "stages"],
@@ -54,6 +55,7 @@ def main(argv=None) -> None:
     print("=== stage 1/2: GA with error-guided growth ===", flush=True)
     ga_args = common + [
         "--pop-size", str(args.pop_size),
+        "--elite-k", str(args.elite_k),
         "--generations", str(args.ga_generations),
         "--recycle-every", str(args.recycle_every),
         "--recycle-k", str(recycle_k),
