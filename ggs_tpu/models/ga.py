@@ -262,6 +262,7 @@ def genetic_approx(
     return_state: bool = False,
     recycle_every: int = 0,
     recycle_k: int = 0,
+    recycle_patience: int = 0,
     stall_patience: int = 0,
     weight_mask=None,
 ):
@@ -406,7 +407,20 @@ def genetic_approx(
                         gen, state.best, pad, prefix, video_dir, H, W, obj.k_sigma,
                         save_video, impl=obj.impl,
                     )
-            if recycle_every and recycle_k and gen % recycle_every < block and gen < ga.generations:
+            # Recycle on a fixed cadence (recycle_every) and/or when the
+            # best fitness has stalled for recycle_patience generations
+            # (the no_improve counter is maintained on device by the
+            # generation step; a stall-triggered recycle resets it so the
+            # trigger re-arms).
+            periodic = (
+                recycle_every and recycle_k
+                and gen % recycle_every < block and gen < ga.generations
+            )
+            stalled = (
+                recycle_patience and recycle_k and gen < ga.generations
+                and int(jax.device_get(state.no_improve)) >= recycle_patience
+            )
+            if periodic or stalled:
                 from . import grow as grow_mod
 
                 k_r = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), gen)
@@ -425,6 +439,8 @@ def genetic_approx(
                         ),
                     )
                 state = state._replace(pop=new_pop, fits=new_fits)
+                if stalled:
+                    state = state._replace(no_improve=state.no_improve * 0)
             if checkpoint_path and checkpoint_every and gen % checkpoint_every < block:
                 ckpt_mod.save_checkpoint(
                     checkpoint_path, state, meta={"gen": gen, "curves": curves}
@@ -442,6 +458,10 @@ def genetic_approx(
             # already tracks no_improve on device; a stage that hasn't
             # improved its best for `stall_patience` generations ends so
             # the caller can grow capacity instead of burning budget.
+            # (A stall-triggered recycle above resets the counter, so when
+            # both are set use recycle_patience < stall_patience: the run
+            # recycles first and only ends the stage if stalls persist
+            # through the recycles.)
             if stall_patience and int(jax.device_get(state.no_improve)) >= stall_patience:
                 break
     except KeyboardInterrupt:

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
         "splats with error-guided ones (fixed N, no recompile)")
     p.add_argument("--recycle-k", type=int, default=0)
     p.add_argument(
+        "--recycle-patience", type=int, default=0,
+        help="also recycle whenever the best fitness stalls this many "
+        "generations (0 = periodic-only; composes with --recycle-every)",
+    )
+    p.add_argument(
         "--grow-stages", type=int, default=1,
         help=">1: error-guided splat growth — stage i fits n-splats/2^(S-1-i) "
         "splats, then appends new splats at each candidate's own highest-"
@@ -184,6 +189,7 @@ def main(argv=None) -> None:
             return_state=not last,
             recycle_every=args.recycle_every,
             recycle_k=args.recycle_k,
+            recycle_patience=args.recycle_patience,
             stall_patience=patience,
             weight_mask=weight_mask,
         )

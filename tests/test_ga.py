@@ -168,3 +168,31 @@ def test_explicit_weight_mask_override(tmp_path, key):
     _, fit_half, _ = ga.genetic_approx(target, H, W, weight_mask=half, **kw)
     _, fit_auto, _ = ga.genetic_approx(target, H, W, **kw)
     assert fit_half != fit_auto
+
+
+def test_recycle_on_stall(tmp_path, key, monkeypatch):
+    """recycle_patience must trigger recycle_population when the best
+    fitness stalls (and reset the counter so the trigger re-arms), without
+    requiring a periodic cadence."""
+    import jax.numpy as jnp
+
+    from ggs_tpu.models import grow
+
+    calls = {"n": 0}
+    real = grow.recycle_population
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(grow, "recycle_population", spy)
+
+    target = jnp.zeros((H, W, 3), jnp.float32)  # stalls almost immediately
+    cfg = GAConfig(pop_size=4, generations=60, elite_k=1)
+    ga.genetic_approx(
+        target, H, W, obj=OBJ, ga=cfg, gnm=GNM, seed=3, log_every=10,
+        loss_png_path=str(tmp_path / "l.png"),
+        loss_csv_path=str(tmp_path / "l.csv"), progress=False,
+        recycle_k=1, recycle_patience=1,
+    )
+    assert calls["n"] >= 1
