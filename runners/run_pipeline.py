@@ -41,6 +41,11 @@ def main(argv=None) -> None:
     p.add_argument("--grow-patience", type=int, default=1500)
     p.add_argument("--recycle-every", type=int, default=10_000)
     p.add_argument("--recycle-k", type=int, default=0, help="0 = n-splats/16")
+    p.add_argument(
+        "--recycle-patience", type=int, default=0,
+        help="also recycle when the best fitness stalls this many "
+        "generations (composes with --recycle-every)",
+    )
     p.add_argument("--adam-steps", type=int, default=800)
     p.add_argument("--adam-lr", type=float, default=1e-2)
     p.add_argument("--seed", type=int, default=42)
@@ -59,6 +64,7 @@ def main(argv=None) -> None:
         "--generations", str(args.ga_generations),
         "--recycle-every", str(args.recycle_every),
         "--recycle-k", str(recycle_k),
+        "--recycle-patience", str(args.recycle_patience),
         "--log-every", "1000",
     ]
     if args.grow_mode == "auto":
