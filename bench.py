@@ -125,7 +125,11 @@ def main() -> None:
             print(f"[bench] grad bench skipped ({e})", file=sys.stderr)
 
     record = {
-        "metric": f"candidate_renders_per_s_{H}x{W}_{N}splats",
+        # Precision is encoded in the metric name: fast (~5e-5, ranking-
+        # identical — the evolutionary evaluation mode) and exact (oracle
+        # bit-exact) are different quantities and must not be compared
+        # round-over-round under one name (round-2 advisor finding).
+        "metric": f"candidate_renders_per_s_{precision}_{H}x{W}_{N}splats",
         "value": round(renders_per_s, 2),
         "unit": "renders/s/chip",
         "vs_baseline": round(renders_per_s / 10_000.0, 4),

@@ -87,7 +87,13 @@ def _render_padded(
 
     turbo = precision == "fast"
     feats = _splat_feats_turbo(p) if turbo else _splat_feats_fast(p)
-    bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap, interpret)
+    # pad_slots >= unroll: the walk reads up to cnt + unroll - 1 entries,
+    # and on hardware the scatter binning only initializes pad_slots
+    # sentinels past cnt (interpret mode zero-fills, hiding shortfalls).
+    bin_idx, cnt = _bin_splats(
+        p, n_tx, n_ty, tile_h, tile_w, cap, interpret,
+        pad_slots=max(unroll, _SCATTER_PAD),
+    )
     bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 
     in_specs = [
@@ -246,7 +252,7 @@ def _splat_feats_turbo(p: codec.SplatScreen) -> jnp.ndarray:
     return jnp.concatenate([feats, sentinel], axis=2)
 
 
-def _prep_turbo_kernel(g_ref, ff_ref, fi_ref, *, maxx, maxy, k_sigma):
+def _prep_turbo_kernel(g_ref, ff_ref, fi_ref, *, maxx, maxy, k_sigma, cull_eps):
     """Genome preprocess + fast-mode table build as ONE Pallas op.
 
     Replaces the ~50-op XLA chain codec.preprocess -> _splat_feats_turbo,
@@ -254,22 +260,33 @@ def _prep_turbo_kernel(g_ref, ff_ref, fi_ref, *, maxx, maxy, k_sigma):
     call regardless of batch size (the small-B cliff, docs/DESIGN.md §2).
     Everything is vectorized over splats on the VPU lanes; semantics match
     codec.preprocess (modules/render.py:9-47) to ~1 ulp, which is inside
-    the fast mode's documented tolerance.
+    the fast mode's documented tolerance — except the AABBs, which use
+    the fast-mode TIGHT r_eff-sigma extents (see _tighten_boxes: binning
+    cull, ~11% fewer pairs) instead of the reference's conservative
+    y-bound; alpha <= cull_eps yields an empty box.
 
     g_ref: (1, 9, N) renderer genome, param-major; ff_ref: (1, 13, N+1)
     fast feats (see _splat_feats_turbo); fi_ref: (1, 4, N) i32 AABBs for
     _bin_splats_xy.
     """
+    import math
+
     g = g_ref[0]  # (9, N)
     cx = jnp.clip(g[0:1], 0.0, 1.0) * maxx
     cy = jnp.clip(g[1:2], 0.0, 1.0) * maxy
     l11 = jnp.maximum(jnp.exp(g[2:3]), 1e-6)
     l22 = jnp.maximum(jnp.exp(g[3:4]), 1e-6)
     l21 = g[4:5]
-    hx = jnp.maximum(k_sigma * jnp.abs(l11), 1.0)
-    hy = jnp.maximum(k_sigma * (jnp.abs(l21) + jnp.abs(l22)), 1.0)
-    x0 = jnp.floor(jnp.clip(cx - hx, 0.0, maxx))
-    x1 = jnp.ceil(jnp.clip(cx + hx, 0.0, maxx))
+    a = jnp.clip(g[8:9], 0.0, 255.0) * (1.0 / 255.0)
+    r2 = 2.0 * (jnp.log(jnp.maximum(a, 1e-38)) - math.log(cull_eps))
+    r = jnp.minimum(jnp.sqrt(jnp.maximum(r2, 0.0)), k_sigma)
+    hx = jnp.maximum(r * l11, 1.0)
+    hy = jnp.maximum(r * jnp.sqrt(l21 * l21 + l22 * l22), 1.0)
+    live = a > cull_eps
+    # Dead splats: x0=1 > x1=-1 empties the TILE range too (see
+    # _tighten_boxes — x0-1 could still share x0's tile index).
+    x0 = jnp.where(live, jnp.floor(jnp.clip(cx - hx, 0.0, maxx)), 1.0)
+    x1 = jnp.where(live, jnp.ceil(jnp.clip(cx + hx, 0.0, maxx)), -1.0)
     y0 = jnp.floor(jnp.clip(cy - hy, 0.0, maxy))
     y1 = jnp.ceil(jnp.clip(cy + hy, 0.0, maxy))
     inv11 = 1.0 / l11
@@ -281,7 +298,6 @@ def _prep_turbo_kernel(g_ref, ff_ref, fi_ref, *, maxx, maxy, k_sigma):
     rc = jnp.clip(g[5:6], 0.0, 255.0) * (1.0 / 255.0)
     gc = jnp.clip(g[6:7], 0.0, 255.0) * (1.0 / 255.0)
     bc = jnp.clip(g[7:8], 0.0, 255.0) * (1.0 / 255.0)
-    a = jnp.clip(g[8:9], 0.0, 255.0) * (1.0 / 255.0)
     log2a = jnp.where(a > 0.0, jnp.log2(jnp.maximum(a, 1e-38)), -jnp.inf)
 
     n = cx.shape[1]
@@ -311,6 +327,7 @@ def _prep_turbo_pallas(g9: jnp.ndarray, H: int, W: int, k_sigma: float, interpre
         functools.partial(
             _prep_turbo_kernel,
             maxx=float(W - 1), maxy=float(H - 1), k_sigma=float(k_sigma),
+            cull_eps=_CULL_EPS,
         ),
         grid=(B,),
         in_specs=[
@@ -326,6 +343,55 @@ def _prep_turbo_pallas(g9: jnp.ndarray, H: int, W: int, k_sigma: float, interpre
         ],
         interpret=interpret,
     )(g9T)
+
+
+# Fast-mode cull: shrink each splat's AABB to the TIGHT r_eff-sigma
+# extents r_eff*l11 / r_eff*sqrt(l21^2+l22^2) with
+# r_eff = min(k, sqrt(2 ln(alpha/eps))) — the radius beyond which the
+# splat's contribution alpha*exp(-r^2/2) falls under eps. This replaces
+# the reference-pinned conservative y-bound k*(|l21|+|l22|) (render.py:25,
+# up to sqrt(2) too tall) in fast mode: ~11% fewer (tile, splat) pairs on
+# the bench population, and splats with alpha <= eps bin nowhere. The
+# tight box feeds BOTH the bin lists and the walk's pixel mask, so the
+# truncation boundary is consistent everywhere. Error = the k-sigma tail
+# in the tight-vs-conservative strip (<= alpha*exp(-k^2/2) ~ 0.011*alpha)
+# plus eps where r_eff < k; measured max canvas err ~1e-2, mean ~2e-4,
+# fitness ranking identical (tests/test_render_pallas.py::test_fast_mode*,
+# GA-quality A/B in DESIGN §8c). Read at import (trace-time constant).
+import os as _os
+
+_CULL_EPS = float(_os.environ.get("GGS_CULL_EPS", "2e-3"))
+
+
+def _tighten_boxes(p: codec.SplatScreen, k_sigma: float) -> codec.SplatScreen:
+    """Fast-mode SplatScreen -> same splats with binning-tight AABBs.
+
+    The tight extents come from the covariance diagonal (cov = L L^T:
+    cov_xx = l11^2, cov_yy = l21^2 + l22^2), recovered here from the
+    precision entries (cov = Sigma^-1 inverse). The tight box is
+    INTERSECTED with the existing box, so canvas clipping and row-slab
+    shifts (fitness_pallas_partial) are inherited; alpha <= eps yields an
+    empty box (x1 < x0 bins to no tile)."""
+    import math
+
+    det = p.sxx * p.syy - p.sxy * p.sxy
+    cov_xx = p.syy / det
+    cov_yy = p.sxx / det
+    r2 = 2.0 * (jnp.log(jnp.maximum(p.a, 1e-38)) - math.log(_CULL_EPS))
+    r = jnp.minimum(jnp.sqrt(jnp.maximum(r2, 0.0)), k_sigma)
+    hx = jnp.maximum(r * jnp.sqrt(jnp.maximum(cov_xx, 0.0)), 1.0)
+    hy = jnp.maximum(r * jnp.sqrt(jnp.maximum(cov_yy, 0.0)), 1.0)
+    live = p.a > _CULL_EPS
+    x0 = jnp.maximum(p.x0, jnp.floor(p.cx - hx).astype(jnp.int32))
+    x1 = jnp.minimum(p.x1, jnp.ceil(p.cx + hx).astype(jnp.int32))
+    y0 = jnp.maximum(p.y0, jnp.floor(p.cy - hy).astype(jnp.int32))
+    y1 = jnp.minimum(p.y1, jnp.ceil(p.cy + hy).astype(jnp.int32))
+    # Dead splats: x0=1 > x1=-1 makes the TILE range empty too (x1=x0-1
+    # would still share a tile unless x0 sat on a tile boundary: integer
+    # division maps both endpoints into the same tile index).
+    x0 = jnp.where(live, x0, 1)
+    x1 = jnp.where(live, x1, -1)
+    return p._replace(x0=x0, x1=x1, y0=y0, y1=y1)
 
 
 def _bin_splats(
@@ -369,6 +435,15 @@ def _bin_splats_xy(
         return _bin_splats_scatter(
             x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap, interpret, pad_slots
         )
+    return _bin_splats_dense(x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap)
+
+
+def _bin_splats_dense(
+    x0, x1, y0, y1, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense binning: [B, T, N] overlap matrix compacted by lax.sort.
+    Fully sentinel-padded to cap. Also the correctness fallback the scatter
+    path jumps to (lax.cond) when a tile overflows its SMEM capacity."""
     B, N = x0.shape
     tx0 = x0 // tile_w
     tx1 = x1 // tile_w
@@ -446,7 +521,7 @@ def _coarse_bin_kernel(
 
 def _scatter_bin_kernel(
     rng_ref,  # (1, 4, N) SMEM i32: tx0, tx1, ty0, ty1 (tile coords)
-    *refs,  # [gl_ref (1, _N_COARSE, cap_g), gcnt_ref (1, _N_COARSE, 1) if coarse,] idx
+    *refs,  # [gl_ref, gcnt_ref if coarse,] idx_ref, ovf_ref (1,1,1,1)
     n_tx: int,
     rpg: int,
     cap: int,
@@ -474,10 +549,10 @@ def _scatter_bin_kernel(
     dead data).
     """
     if coarse:
-        gl_ref, gcnt_ref, idx_ref = refs
+        gl_ref, gcnt_ref, idx_ref, ovf_ref = refs
     else:
         gl_ref = gcnt_ref = None
-        (idx_ref,) = refs
+        idx_ref, ovf_ref = refs
     g = pl.program_id(1)
     gy0 = g * rpg
     tiles = rpg * n_tx
@@ -524,8 +599,9 @@ def _scatter_bin_kernel(
 
     jax.lax.fori_loop(0, n_walk, per_splat, 0)
 
-    def finish(i, _):
-        q = jnp.minimum(idx_ref[0, i, 0], cap)
+    def finish(i, mx):
+        q_true = idx_ref[0, i, 0]  # pre-clamp = true per-tile splat count
+        q = jnp.minimum(q_true, cap)
         idx_ref[0, i, 0] = q
 
         def w(j, _):
@@ -533,9 +609,12 @@ def _scatter_bin_kernel(
             return 0
 
         jax.lax.fori_loop(q, jnp.minimum(q + pad_slots, cap), w, 0)
-        return 0
+        return jnp.maximum(mx, q_true)
 
-    jax.lax.fori_loop(0, tiles, finish, 0)
+    # Max true count in this group: the caller falls back to the dense
+    # path when any tile exceeds cap (silent truncation would break the
+    # binning-equality invariant whenever cap < the requested capacity).
+    ovf_ref[0, 0, 0, 0] = jax.lax.fori_loop(0, tiles, finish, 0)
 
 
 def _bin_splats_scatter(
@@ -545,33 +624,34 @@ def _bin_splats_scatter(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pair-proportional binning (see _bin_splats_xy). Tiles are processed
     in row-band groups sized so each group's lists fit SMEM; the per-tile
-    capacity is additionally bounded by that SMEM budget (e.g. 176 per
-    tile per 8k-splat chunk at 4k^2 — ~8x the average occupancy there) —
-    entries past it truncate exactly like the dense path's cap
-    truncation, keeping the first cap splats in painter order."""
+    capacity cap_s is derived from that budget (e.g. 175 per tile at
+    4k^2 with the default 176 KiB — ~6x the average occupancy of an
+    8k-splat chunk). When cap_s < cap, truncation would silently drop
+    painter-ordered splats, so the kernel reports the max TRUE per-tile
+    count and the call falls back (lax.cond) to the dense path whenever
+    any tile overflows — results are always identical to dense."""
     B, N = x0.shape
-    rng = jnp.stack(
-        [x0 // tile_w, x1 // tile_w, y0 // tile_h, y1 // tile_h], axis=1
-    ).astype(jnp.int32)
 
     budget = smem_budget  # SMEM bytes for one group's lists (2x buffered)
-    cap_s = min(cap, max(64, budget // (n_tx * 4)))
-    rpg = max(1, budget // (n_tx * cap_s * 4))
-    rpg = min(rpg, n_ty)
-    if _cdiv(n_ty, rpg) > _N_COARSE:
-        # Cap the group count at _N_COARSE so each fine group IS one
-        # coarse band (re-walk factor 1 in the two-level scatter); the
-        # per-tile capacity shrinks to fit the bigger group in SMEM but
-        # stays generous per splat-chunk (e.g. 256 at 4k^2 / 8k splats).
-        rpg = _cdiv(n_ty, _N_COARSE)
-        cap_s = min(cap, max(64, budget // (rpg * n_tx * 4)))
+    # Smallest groups whose count still fits two-level's _N_COARSE bands
+    # (re-walk factor 1) maximize per-tile capacity under the budget.
+    rpg = max(1, _cdiv(n_ty, _N_COARSE))
     # Mosaic block constraint: the idx block's second-to-last dim (tiles
     # per group) must divide by 8 unless there is only one group.
     while rpg < n_ty and _cdiv(n_ty, rpg) > 1 and (rpg * n_tx) % 8 != 0:
         rpg += 1
-    # The bump can grow the group, so re-fit the per-tile capacity to the
-    # SMEM budget (otherwise odd n_tx widths could 8x past it).
-    cap_s = min(cap_s, max(64, budget // (rpg * n_tx * 4)))
+    rpg = min(rpg, n_ty)
+    # -1: column 0 of each tile row holds the running count.
+    cap_s = min(cap, budget // (rpg * n_tx * 4) - 1)
+    if cap_s < max(16, pad_slots):
+        # Budget too small for this tile grid (tiny-budget tests, extreme
+        # aspect ratios): the scatter kernel can't hold a useful list, so
+        # bin densely. Static decision — all shapes are known at trace time.
+        return _bin_splats_dense(x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap)
+
+    rng = jnp.stack(
+        [x0 // tile_w, x1 // tile_w, y0 // tile_h, y1 // tile_h], axis=1
+    ).astype(jnp.int32)
     n_groups = _cdiv(n_ty, rpg)
     tiles = rpg * n_tx
     T = n_ty * n_tx
@@ -624,7 +704,7 @@ def _bin_splats_scatter(
         ]
         args += [gl, gcnt]
 
-    (idx1,) = pl.pallas_call(
+    idx1, ovf = pl.pallas_call(
         functools.partial(
             _scatter_bin_kernel, n_tx=n_tx, rpg=rpg, cap=cap_s, N=N,
             coarse=two_level, rpt=rpt if two_level else 0,
@@ -637,19 +717,38 @@ def _bin_splats_scatter(
                 (1, tiles, cap_s + 1), lambda b, g: (b, g, 0),
                 memory_space=pltpu.SMEM,
             ),
+            pl.BlockSpec(
+                (1, 1, 1, 1), lambda b, g: (b, g, 0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n_groups * tiles, cap_s + 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_groups, 1, 1), jnp.int32),
         ],
         interpret=interpret,
     )(*args)
     idx = idx1[:, :T, 1:]
     cnt = idx1[:, :T, 0]
-    if cap_s < cap:
-        idx = jnp.concatenate(
-            [idx, jnp.full((B, T, cap - cap_s), N, jnp.int32)], axis=-1
-        )
-    return idx, cnt
+    if cap_s >= cap:
+        # cap_s == cap: truncation at cap is the documented rule (same as
+        # dense) — no correctness gap, no fallback needed.
+        return idx, cnt
+    idx = jnp.concatenate(
+        [idx, jnp.full((B, T, cap - cap_s), N, jnp.int32)], axis=-1
+    )
+    # Any tile whose TRUE count exceeds cap_s lost painter-ordered splats
+    # the caller's cap would have kept -> recompute densely. The predicate
+    # stays on device (no host sync); the dense branch only executes (and
+    # only then allocates its [B, T, N] temporaries) on overflow.
+    overflowed = jnp.max(ovf) > cap_s
+    return jax.lax.cond(
+        overflowed,
+        lambda _: _bin_splats_dense(
+            x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap
+        ),
+        lambda _: (idx, cnt),
+        operand=None,
+    )
 
 
 def _composite_tile(
@@ -886,6 +985,8 @@ def render_pallas(
     g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
 
     p = codec.preprocess(g9, H, W, k_sigma)
+    if precision == "fast":
+        p = _tighten_boxes(p, k_sigma)
     out, _ = _chunked_passes(
         p, H, W, tile_h, tile_w, tuple(float(c) for c in background),
         unroll, interpret, bin_capacity, keep_last=False, precision=precision,
@@ -960,6 +1061,8 @@ def fitness_pallas(
         )
         return num / denom
     p = codec.preprocess(g9, H, W, k_sigma)
+    if precision == "fast":
+        p = _tighten_boxes(p, k_sigma)
     init_p, p_last = _chunked_passes(
         p, H, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
         keep_last=True, precision=precision,
@@ -1001,16 +1104,19 @@ def _fitness_partials(
     cap = N if bin_capacity is None else min(bin_capacity, N)
 
     turbo = precision == "fast"
+    ps = max(unroll, _SCATTER_PAD)  # see _render_padded: walk overshoot
     if prep is not None:
         ff, fi = prep
         feats = ff
         bin_idx, cnt = _bin_splats_xy(
             fi[:, 0], fi[:, 1], fi[:, 2], fi[:, 3], n_tx, n_ty, tile_h, tile_w,
-            cap, interpret,
+            cap, interpret, pad_slots=ps,
         )
     else:
         feats = _splat_feats_turbo(p) if turbo else _splat_feats_fast(p)
-        bin_idx, cnt = _bin_splats(p, n_tx, n_ty, tile_h, tile_w, cap, interpret)
+        bin_idx, cnt = _bin_splats(
+            p, n_tx, n_ty, tile_h, tile_w, cap, interpret, pad_slots=ps,
+        )
     bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 
     target_p = jnp.zeros((3, Hp, Wp), jnp.float32)
@@ -1115,6 +1221,8 @@ def fitness_pallas_partial(
         y0=p.y0 - yo_i,
         y1=p.y1 - yo_i,
     )
+    if precision == "fast":
+        p = _tighten_boxes(p, k_sigma)  # intersection inherits the shift
     bgt = tuple(float(c) for c in background)
     init_p, p_last = _chunked_passes(
         p, Hs, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
@@ -1162,6 +1270,8 @@ def render_rows_pallas(
         y0=p.y0 - yo_i,
         y1=p.y1 - yo_i,
     )
+    if precision == "fast":
+        p = _tighten_boxes(p, k_sigma)  # intersection inherits the shift
     th = next((t for t in (64, 32, 16, 8) if out_rows % t == 0), None)
     tile_h = th if th is not None else tile_h
     out, _ = _chunked_passes(

@@ -187,32 +187,77 @@ def test_fuzz_random_configs_match_oracle():
 
 def test_fast_mode_close_to_oracle(key):
     """precision="fast" (exp2/log2-alpha folding + open-interval threshold
-    mask, _splat_feats_turbo) must stay within ~1e-4 of the exact render,
-    including chained chunk passes and the fused fitness."""
+    mask, _splat_feats_turbo, PLUS the epsilon-contribution tile cull —
+    _bin_splats_dense ell) must stay within ~the cull epsilon (2e-3
+    default, sub-u8-quantum) of the exact render, including chained chunk
+    passes and the fused fitness, with identical fitness RANKING."""
     from ggs_tpu.ops.render_pallas import fitness_pallas
 
     H, W = 40, 200
     g9 = _genomes(key, 3, 24, H, W)
     ref = oracle.render_xla(g9, H, W)
     got = render_pallas(g9, H, W, tile_h=16, interpret=True, precision="fast")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=4e-3)
 
     tgt = jax.random.uniform(jax.random.PRNGKey(77), (H, W, 3))
     f_exact = fitness_pallas(g9, tgt, None, H, W, tile_h=16, interpret=True)
     f_fast = fitness_pallas(
         g9, tgt, None, H, W, tile_h=16, interpret=True, precision="fast"
     )
-    np.testing.assert_allclose(np.asarray(f_fast), np.asarray(f_exact), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_fast), np.asarray(f_exact), rtol=1e-3)
+    assert (
+        np.argsort(np.asarray(f_fast)) == np.argsort(np.asarray(f_exact))
+    ).all()
+
+
+def test_fast_mode_cull_reduces_pairs(key):
+    """The fast-mode tight-AABB cull (_tighten_boxes: r_eff-sigma extents
+    instead of the conservative k*(|l21|+|l22|) bound) must (a) strictly
+    reduce the binned pair count on real populations, (b) drop alpha=0
+    splats from every list, and (c) keep the culled fast render within
+    the documented tolerance of the oracle."""
+    from ggs_tpu.ops import codec as codec_mod
+    from ggs_tpu.ops.render_pallas import (
+        _bin_splats_dense, _tighten_boxes, _cdiv,
+    )
+
+    H, W = 256, 256
+    g9 = _genomes(key, 4, 96, H, W, max_scale=0.4)
+    g9 = g9.at[:, ::7, 8].set(0.0)  # some invisible splats
+    p = codec_mod.preprocess(g9, H, W, 3.0)
+    pt = _tighten_boxes(p, 3.0)
+    # live tight boxes only ever shrink (intersection with the
+    # conservative box); dead splats get the sentinel empty box 1..-1
+    live = np.asarray(p.a) > 0.0
+    for tight, cons, cmp in (
+        (pt.x0, p.x0, np.greater_equal), (pt.x1, p.x1, np.less_equal),
+        (pt.y0, p.y0, np.greater_equal), (pt.y1, p.y1, np.less_equal),
+    ):
+        assert cmp(np.asarray(tight), np.asarray(cons))[live].all()
+    assert (np.asarray(pt.x0) > np.asarray(pt.x1))[~live].all()
+    n_tx, n_ty = _cdiv(W, 128), _cdiv(H, 32)
+    _, c0 = _bin_splats_dense(p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, 32, 128, 96)
+    idx1, c1 = _bin_splats_dense(pt.x0, pt.x1, pt.y0, pt.y1, n_tx, n_ty, 32, 128, 96)
+    assert int(jnp.sum(c1)) < int(jnp.sum(c0))
+    dead = np.flatnonzero(np.asarray(g9[0, :, 8]) == 0.0)
+    listed = set(np.unique(np.asarray(idx1[0]))[:-1].tolist())  # drop sentinel
+    assert not set(dead.tolist()) & listed
+    # the culled fast render still matches the oracle to ~the k-sigma tail
+    ref = oracle.render_xla(g9, H, W)
+    got = render_pallas(g9, H, W, tile_h=32, interpret=True, precision="fast")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+    assert float(jnp.mean(jnp.abs(got - ref))) < 2e-4
 
 
 def test_fast_mode_zero_alpha_and_sentinel(key):
     """alpha = 0 splats must contribute exactly nothing in fast mode
-    (log2(alpha) = -inf => exp2 = 0), matching the exact kernel."""
+    (log2(alpha) = -inf => exp2 = 0, and the cull drops them from the
+    lists entirely), matching the exact kernel."""
     g9 = _genomes(key, 1, 6, 32, 128)
     g9 = g9.at[:, ::2, 8].set(0.0)  # kill alternating splats
     ref = render_pallas(g9, 32, 128, interpret=True)
     got = render_pallas(g9, 32, 128, interpret=True, precision="fast")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=4e-3)
     only_live = render_pallas(g9[:, 1::2], 32, 128, interpret=True, precision="fast")
     np.testing.assert_allclose(np.asarray(got), np.asarray(only_live), atol=1e-6)
 
@@ -288,3 +333,49 @@ def test_scatter_binning_two_level(key):
         for t in range(di.shape[1]):
             c = dc[b, t]
             np.testing.assert_array_equal(si[b, t, :c], di[b, t, :c])
+
+
+def test_scatter_binning_capacity_overflow_falls_back(key):
+    """When the SMEM budget caps the per-tile list below the requested
+    capacity (cap_s < cap) AND a tile actually holds more splats than
+    cap_s, the scatter path must NOT silently truncate: it detects the
+    overflow on device and recomputes with the dense path, so the result
+    is always identical to dense at the requested cap."""
+    from ggs_tpu.ops import codec as codec_mod
+    from ggs_tpu.ops.render_pallas import _bin_splats_dense, _bin_splats_scatter
+
+    H, W = 512, 128
+    n_tx, n_ty, th, tw = 1, 32, 16, 128
+    N = 96
+    # All splats centered on the same spot -> one tile sees all 96 of
+    # them, far beyond the ~63-entry capacity a 2 KiB budget allows.
+    g = jnp.tile(
+        jnp.array([[0.5, 0.5, np.log(4.0), np.log(4.0), 0.0, 128.0, 128.0, 128.0, 128.0]]),
+        (N, 1),
+    )[None]
+    p = codec_mod.preprocess(codec_mod.genome_to_renderer(g), H, W, 3.0)
+    di, dc = _bin_splats_dense(p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, th, tw, N)
+    si, sc = _bin_splats_scatter(
+        p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, th, tw, N,
+        interpret=True, smem_budget=2048,
+    )
+    assert int(np.asarray(dc).max()) > 63  # the overflow regime is exercised
+    np.testing.assert_array_equal(np.asarray(dc), np.asarray(sc))
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(si))
+
+    # Spread splats with cap_s (= 35 at a 1152 B budget) < cap but no tile
+    # overflowing: the scatter result is used directly, lists equal below
+    # cnt.
+    g9 = _genomes(key, 1, 40, H, W, max_scale=0.2)
+    p = codec_mod.preprocess(g9, H, W, 3.0)
+    di, dc = _bin_splats_dense(p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, th, tw, 40)
+    assert int(np.asarray(dc).max()) <= 35
+    si, sc = _bin_splats_scatter(
+        p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, th, tw, 40,
+        interpret=True, smem_budget=1152,
+    )
+    np.testing.assert_array_equal(np.asarray(dc), np.asarray(sc))
+    di, si, dc = np.asarray(di), np.asarray(si), np.asarray(dc)
+    for t in range(di.shape[1]):
+        c = dc[0, t]
+        np.testing.assert_array_equal(si[0, t, :c], di[0, t, :c])
