@@ -36,6 +36,12 @@ def make_loss_fn(obj: Objective, gnm: GenomeConfig):
     kernel pair (ops/render_grad.py: analytic division-free backward);
     otherwise the XLA oracle's remat autodiff. Both produce matching
     gradients (tests/test_render_grad.py).
+
+    Honors obj.metric: "mse" scores with fitness_from_images, "ssim"/"mix"
+    with ssim.mixed_energy — the SAME energies objective.evaluate gives
+    the evolutionary loops, so Adam polish and memetic refinement always
+    optimize the energy the GA selected on (no reference analogue:
+    modules/fitness.py:18-31 is MSE-only and @torch.no_grad).
     """
     impl = obj.impl
     if impl == "auto":
@@ -62,10 +68,19 @@ def make_loss_fn(obj: Objective, gnm: GenomeConfig):
             imgs = oracle.render_xla(
                 g9, obj.H, obj.W, k_sigma=obj.k_sigma, background=tuple(obj.background)
             )
-        fits = fitness.fitness_from_images(
-            imgs, target, weight_mask=weight_mask,
-            boost_only=obj.boost_only, boost_beta=obj.boost_beta,
-        )
+        if obj.metric != "mse":
+            from ..ops import ssim as ssim_mod
+
+            fits = ssim_mod.mixed_energy(
+                imgs, target, weight_mask=weight_mask,
+                ssim_weight=1.0 if obj.metric == "ssim" else obj.ssim_weight,
+                boost_only=obj.boost_only, boost_beta=obj.boost_beta,
+            )
+        else:
+            fits = fitness.fitness_from_images(
+                imgs, target, weight_mask=weight_mask,
+                boost_only=obj.boost_only, boost_beta=obj.boost_beta,
+            )
         return jnp.mean(fits), fits
 
     return loss_fn
@@ -80,17 +95,23 @@ def _make_sharded_loss_fn(obj: Objective):
     y_origin shift — exact, see its docstring) and the weighted-SSE
     partials psum over the tile axis. Under jax.grad, shard_map transposes
     the replicated-genome use into exactly the splat-gradient psum over
-    the tile axis the north star asks for. Returns None when the canvas
-    doesn't divide the mesh (caller falls back to the unsharded loss).
+    the tile axis the north star asks for. The per-device energy (incl.
+    the differentiable SSIM/mix metric with its ppermute halo exchange)
+    comes from objective.sharded_energy_rows — the same combination the
+    GA's sharded fitness uses. Returns None when the canvas doesn't
+    divide the mesh or a slab is shorter than the SSIM halo (caller falls
+    back to the unsharded loss).
     """
     from jax.sharding import PartitionSpec as P
+
+    from ..ops import objective as objective_mod
 
     mesh = obj.mesh
     pop_ax, tile_ax = obj.pspec_imgs[0], obj.pspec_imgs[1]
     ntile = mesh.shape[tile_ax]
     npop = mesh.shape[pop_ax]
     H, W = obj.H, obj.W
-    if H % ntile != 0:
+    if not objective_mod.sharded_metric_viable(obj):
         return None
     Hs = H // ntile
 
@@ -109,15 +130,9 @@ def _make_sharded_loss_fn(obj: Objective):
                 y_origin=y0,
                 out_rows=Hs,
             )
-            d2 = jnp.sum((imgs - tgt_rows[None]) ** 2, axis=-1)  # [Bl, Hs, W]
-            w_eff, denom = fitness.sharded_weff_denom(
-                w_rows, obj.boost_only, obj.boost_beta, H, W, tile_ax
+            return objective_mod.sharded_energy_rows(
+                obj, imgs, tgt_rows, w_rows, y0, tile_ax
             )
-            if w_eff is None:
-                num = jnp.sum(d2, axis=(1, 2))
-            else:
-                num = jnp.sum(d2 * w_eff[None], axis=(1, 2))
-            return jax.lax.psum(num, tile_ax) / denom
 
         # Genome batches that don't divide the pop axis (e.g. fit_adam's
         # default single genome) run replicated over pop; the psum'd fits
@@ -173,6 +188,11 @@ def make_value_and_grad(obj: Objective, gnm: GenomeConfig):
 
         impl = render_mod._default_impl()
     if impl != "pallas":
+        return vg
+    if obj.metric != "mse":
+        # The fused kernel's on-chip loss head is the weighted-SSE family
+        # only; SSIM/mix differentiates through the image-producing
+        # custom-VJP path (make_loss_fn honors obj.metric).
         return vg
     if obj.mesh is not None and obj.pspec_imgs is not None:
         if _make_sharded_loss_fn(obj) is not None:

@@ -158,6 +158,67 @@ def evaluate(
     return fits.reshape(Bp)[:B]
 
 
+_SSIM_WIN = 11  # Wang et al. window — fixed across all SSIM paths
+
+
+def sharded_metric_viable(obj: Objective) -> bool:
+    """True when the row-slab SSIM/mix partition is exact for this mesh:
+    the canvas must divide the tile axis and each slab must be at least
+    one SSIM halo tall (window rows never straddle two slab boundaries)."""
+    ntile = obj.mesh.shape[obj.pspec_imgs[1]]
+    H, W = obj.H, obj.W
+    if H % ntile != 0:
+        return False
+    Hs = H // ntile
+    halo = _SSIM_WIN - 1
+    if obj.metric != "mse" and (Hs < halo or W < _SSIM_WIN or H < _SSIM_WIN):
+        return False
+    return True
+
+
+def sharded_energy_rows(obj, imgs, tgt_rows, w_rows, y0, tile_ax):
+    """Per-device canvas rows -> full-canvas energy [B] (psum over tile_ax).
+
+    The ONE home for the sharded metric combination — consumed by the
+    fused sharded fitness (_evaluate_metric_sharded) and the tile-sharded
+    differentiable loss (models/gradient._make_sharded_loss_fn), so the
+    GA's selection energy and the Adam/memetic loss cannot drift. Pure JAX
+    and differentiable: lax.ppermute transposes to the inverse permute and
+    the SSIM partials are conv-based, so jax.grad flows through the halo
+    exchange. `imgs` [B, Hs, W, 3] are this device's rows; the SSIM halo
+    (next device's first window-1 rows) arrives by ring ppermute; MSE and
+    valid-window SSIM partials psum over the tile axis. Caller must have
+    checked sharded_metric_viable."""
+    from . import ssim as ssim_mod
+
+    H, W = obj.H, obj.W
+    ntile = obj.mesh.shape[tile_ax] if obj.mesh is not None else 1
+    win = _SSIM_WIN
+    halo = win - 1
+    w_eff, denom = fitness.sharded_weff_denom(
+        w_rows, obj.boost_only, obj.boost_beta, H, W, tile_ax
+    )
+    d2 = jnp.sum((imgs - tgt_rows[None]) ** 2, axis=-1)
+    num = jnp.sum(d2 if w_eff is None else d2 * w_eff[None], axis=(1, 2))
+    mse = jax.lax.psum(num, tile_ax) / denom
+    wmix = 0.0 if obj.metric == "mse" else (
+        1.0 if obj.metric == "ssim" else obj.ssim_weight
+    )
+    if wmix <= 0.0:
+        return mse
+    perm = [(i, (i - 1) % ntile) for i in range(ntile)]
+    halo_img = jax.lax.ppermute(imgs[:, :halo], tile_ax, perm)
+    halo_tgt = jax.lax.ppermute(tgt_rows[:halo], tile_ax, perm)
+    imgs_ext = jnp.concatenate([imgs, halo_img], axis=1)
+    tgt_ext = jnp.concatenate([tgt_rows, halo_tgt], axis=0)
+    ssum = ssim_mod.ssim_sum_rows(imgs_ext, tgt_ext, y0, H, window_size=win)
+    n_windows = float((H - win + 1) * (W - win + 1) * 3)
+    dssim_e = (1.0 - jax.lax.psum(ssum, tile_ax) / n_windows) / 2.0
+    if obj.metric == "ssim":
+        return dssim_e
+    return (1.0 - wmix) * mse + wmix * dssim_e
+
+
 def _evaluate_metric_sharded(
     obj: Objective,
     g_axes: jnp.ndarray,
@@ -181,7 +242,7 @@ def _evaluate_metric_sharded(
     """
     from jax.sharding import PartitionSpec as P
 
-    from . import render_pallas, ssim as ssim_mod
+    from . import render_pallas
 
     mesh = obj.mesh
     pop_ax, tile_ax = obj.pspec_imgs[0], obj.pspec_imgs[1]
@@ -189,14 +250,9 @@ def _evaluate_metric_sharded(
     ntile = mesh.shape[tile_ax]
     B = g_axes.shape[0]
     H, W = obj.H, obj.W
-    win = 11
-    halo = win - 1
-    if B % npop != 0 or H % ntile != 0:
+    if B % npop != 0 or not sharded_metric_viable(obj):
         return None
     Hs = H // ntile
-    if Hs < halo or W < win or H < win:
-        return None
-    wmix = 1.0 if obj.metric == "ssim" else obj.ssim_weight
 
     def local(g_ax, tgt_rows, w_rows):
         g9 = codec.genome_to_renderer(g_ax)
@@ -207,25 +263,7 @@ def _evaluate_metric_sharded(
             bin_capacity=obj.bin_capacity, interpret=obj.interpret,
             precision=obj.precision if obj.precision == "fast" else "highest",
         )
-        w_eff, denom = fitness.sharded_weff_denom(
-            w_rows, obj.boost_only, obj.boost_beta, H, W, tile_ax
-        )
-        d2 = jnp.sum((imgs - tgt_rows[None]) ** 2, axis=-1)
-        num = jnp.sum(d2 if w_eff is None else d2 * w_eff[None], axis=(1, 2))
-        mse = jax.lax.psum(num, tile_ax) / denom
-        if wmix <= 0.0:
-            return mse
-        perm = [(i, (i - 1) % ntile) for i in range(ntile)]
-        halo_img = jax.lax.ppermute(imgs[:, :halo], tile_ax, perm)
-        halo_tgt = jax.lax.ppermute(tgt_rows[:halo], tile_ax, perm)
-        imgs_ext = jnp.concatenate([imgs, halo_img], axis=1)
-        tgt_ext = jnp.concatenate([tgt_rows, halo_tgt], axis=0)
-        ssum = ssim_mod.ssim_sum_rows(imgs_ext, tgt_ext, y0, H, window_size=win)
-        n_windows = float((H - win + 1) * (W - win + 1) * 3)
-        dssim_e = (1.0 - jax.lax.psum(ssum, tile_ax) / n_windows) / 2.0
-        if obj.metric == "ssim":
-            return dssim_e
-        return (1.0 - wmix) * mse + wmix * dssim_e
+        return sharded_energy_rows(obj, imgs, tgt_rows, w_rows, y0, tile_ax)
 
     g_spec = P(pop_ax) if B % npop == 0 else P()
     if weight_mask is None:

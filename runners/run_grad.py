@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--init-from", default="", help="checkpoint/.npy genome to warm-start from")
     p.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument(
+        "--metric", default="mse", choices=["mse", "ssim", "mix"],
+        help="differentiable objective: masked MSE, DSSIM, or the fused mix",
+    )
+    p.add_argument("--ssim-weight", type=float, default=0.5,
+                   help="mix weight on the DSSIM term (metric=mix)")
     p.add_argument("--pop-shards", type=int, default=1, help="mesh: genome-batch shards")
     p.add_argument("--tile-shards", type=int, default=1, help="mesh: canvas-row shards (grads psum over this axis)")
     return p
@@ -50,7 +56,10 @@ def main(argv=None) -> None:
     H, W = codec.choose_work_size(H_out, W_out, max_side=args.work_max_side)
     print(f"target {H_out}x{W_out} -> work {H}x{W}")
 
-    obj = Objective(H=H, W=W, k_sigma=args.k_sigma, impl=args.impl)
+    obj = Objective(
+        H=H, W=W, k_sigma=args.k_sigma, impl=args.impl,
+        metric=args.metric, ssim_weight=args.ssim_weight,
+    )
     if args.pop_shards * args.tile_shards > 1:
         import jax
 
@@ -82,14 +91,16 @@ def main(argv=None) -> None:
         weight_mask=wm, seed=args.seed, log_every=args.log_every,
     )
     print("Final loss:", best_loss)
-    if best_loss > 0:
+    if best_loss > 0 and args.metric == "mse":
         import math
 
         print(f"PSNR: {-10.0 * math.log10(best_loss):.2f} dB")
 
     curves_mod.save_loss_curve_png(
         {"loss": curve}, os.path.join(args.output_dir, "grad_loss.png"),
-        title="Adam fitting", xlabel="Step", ylabel="MSE", log_y=True,
+        title="Adam fitting", xlabel="Step",
+        ylabel={"mse": "MSE", "ssim": "DSSIM", "mix": "mixed energy"}[args.metric],
+        log_y=True,
     )
     curves_mod.save_curves_csv({"loss": curve}, os.path.join(args.output_dir, "grad_loss.csv"))
     np.save(os.path.join(args.output_dir, "grad_genome.npy"), best)

@@ -48,6 +48,12 @@ def main(argv=None) -> None:
     )
     p.add_argument("--adam-steps", type=int, default=800)
     p.add_argument("--adam-lr", type=float, default=1e-2)
+    p.add_argument(
+        "--metric", default="mse", choices=["mse", "ssim", "mix"],
+        help="objective for BOTH stages — the GA selects and Adam polishes "
+        "on the same energy (gradient.make_loss_fn honors the metric)",
+    )
+    p.add_argument("--ssim-weight", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-video", action="store_true")
     args = p.parse_args(argv)
@@ -55,7 +61,8 @@ def main(argv=None) -> None:
     recycle_k = args.recycle_k or max(1, args.n_splats // 16)
     common = ["--image", args.image, "--output-dir", args.output_dir,
               "--work-max-side", str(args.work_max_side),
-              "--n-splats", str(args.n_splats), "--seed", str(args.seed)]
+              "--n-splats", str(args.n_splats), "--seed", str(args.seed),
+              "--metric", args.metric, "--ssim-weight", str(args.ssim_weight)]
 
     print("=== stage 1/2: GA with error-guided growth ===", flush=True)
     ga_args = common + [

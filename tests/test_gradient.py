@@ -85,3 +85,99 @@ def test_memetic_run_block(key):
     m = np.asarray(metrics)
     assert np.all(np.diff(m[:, 0]) <= 1e-9)  # best stays monotone through refinement
     assert float(st.best_fit) <= b0
+
+
+OBJ_MIX = objective.Objective(H=H, W=W, impl="xla", metric="mix", ssim_weight=0.5)
+
+
+def test_loss_fn_honors_metric(key):
+    """make_loss_fn must score with the SAME energy objective.evaluate
+    gives the evolutionary loops for every metric (round-2 verdict #1:
+    the gradient path silently pinned MSE)."""
+    target = _target(jax.random.PRNGKey(3006))
+    g = genome.new_population(key, 2, 8, H, W, GNM.min_scale, GNM.max_scale)
+    for metric in ("mse", "ssim", "mix"):
+        obj = objective.Objective(H=H, W=W, impl="xla", metric=metric, ssim_weight=0.5)
+        _, fits = gradient.make_loss_fn(obj, GNM)(g, target, None)
+        want = objective.evaluate(obj, g, target, None)
+        np.testing.assert_allclose(
+            np.asarray(fits), np.asarray(want), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_mix_gradient_matches_finite_differences(key):
+    """jax.grad of the mixed MSE/SSIM energy vs central differences on a
+    handful of coordinates (all 9 gene kinds represented)."""
+    target = _target(jax.random.PRNGKey(3007))
+    g = genome.new_population(key, 1, 8, H, W, GNM.min_scale, GNM.max_scale)
+    loss_fn = gradient.make_loss_fn(OBJ_MIX, GNM)
+    grad_fn = jax.grad(lambda gg: loss_fn(gg, target, None)[0])
+    an = np.asarray(grad_fn(g))
+    # f32 central differences carry ~2e-4 noise after the /2eps division
+    # (loss ~0.1, f32 ulp ~1e-8 relative), so per-coordinate checks use
+    # that as the absolute floor...
+    eps = 3e-4
+    for (n, c) in [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 6), (7, 7), (0, 8)]:
+        e = jnp.zeros_like(g).at[0, n, c].set(eps)
+        lp, _ = loss_fn(g + e, target, None)
+        lm, _ = loss_fn(g - e, target, None)
+        fd = (float(lp) - float(lm)) / (2 * eps)
+        np.testing.assert_allclose(an[0, n, c], fd, rtol=2e-2, atol=4e-4)
+    # ...and a full directional derivative (better signal-to-noise: sums
+    # all 72 coordinates) pins the gradient as a whole.
+    v = jax.random.normal(jax.random.PRNGKey(7), g.shape)
+    v = v / jnp.linalg.norm(v)
+    dd = float(jnp.vdot(jnp.asarray(an), v))
+    epsd = 1e-3
+    lp, _ = loss_fn(g + epsd * v, target, None)
+    lm, _ = loss_fn(g - epsd * v, target, None)
+    fd = (float(lp) - float(lm)) / (2 * epsd)
+    np.testing.assert_allclose(dd, fd, rtol=2e-2, atol=2e-4)
+
+
+def test_mix_gradient_pallas_matches_oracle(key):
+    """The custom-VJP Pallas render under the mix energy must produce the
+    oracle's gradients (interpret mode on CPU)."""
+    target = _target(jax.random.PRNGKey(3008))
+    g = genome.new_population(key, 2, 8, H, W, GNM.min_scale, GNM.max_scale)
+    obj_p = OBJ_MIX._replace(impl="pallas", interpret=True)
+    gx = jax.grad(lambda gg: gradient.make_loss_fn(OBJ_MIX, GNM)(gg, target, None)[0])(g)
+    gp = jax.grad(lambda gg: gradient.make_loss_fn(obj_p, GNM)(gg, target, None)[0])(g)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-6)
+
+
+def test_refine_elites_mix_metric_commensurate(key):
+    """Memetic refinement under metric="mix" must fit AND score on the mix
+    energy: the returned fits re-evaluate identically under
+    objective.evaluate and never worsen (round-2 verdict: the accept test
+    compared MSE-refined fits against mix-metric elite fits)."""
+    target = _target(jax.random.PRNGKey(3009))
+    elites = genome.new_population(key, 3, 8, H, W, GNM.min_scale, GNM.max_scale)
+    fits = objective.evaluate(OBJ_MIX, elites, target, None)
+    el2, f2 = gradient.refine_elites(
+        elites, fits, target, None, OBJ_MIX, GNM, GradConfig(lr=1e-2), steps=10
+    )
+    assert np.all(np.asarray(f2) <= np.asarray(fits) + 1e-7)
+    f_check = objective.evaluate(OBJ_MIX, el2, target, None)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f_check), rtol=1e-5, atol=1e-6)
+    # refinement actually makes progress on the mix energy too
+    assert float(np.asarray(f2).min()) < float(np.asarray(fits).min())
+
+
+def test_memetic_run_block_mix_metric(key):
+    """GA + memetic refinement on the mix metric: one consistent energy
+    end-to-end; best-fitness curve stays monotone."""
+    target = _target(jax.random.PRNGKey(3010))
+    cfg = GAConfig(pop_size=8, generations=20, elite_k=2, cxpb=0.2, mutpb=0.2)
+    st = ga.init(key, OBJ_MIX, target, None, cfg, GNM)
+    b0 = float(st.best_fit)
+    run = ga.make_memetic_run_block(
+        OBJ_MIX, cfg, GNM, GradConfig(lr=1e-2), refine_every=5, refine_steps=5
+    )
+    st, metrics = run(st, target, None, 15)
+    m = np.asarray(metrics)
+    assert np.all(np.diff(m[:, 0]) <= 1e-9)
+    assert float(st.best_fit) <= b0
+    # the recorded best_fit is the mix energy of the recorded best genome
+    want = objective.evaluate(OBJ_MIX, st.best[None], target, None)[0]
+    np.testing.assert_allclose(float(st.best_fit), float(want), rtol=1e-5, atol=1e-6)

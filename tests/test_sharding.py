@@ -188,6 +188,50 @@ def test_tile_sharded_gradients_match_unsharded(key):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=2e-4, atol=1e-6)
 
 
+def test_tile_sharded_mix_gradients_match_unsharded(key):
+    """The tile-sharded differentiable loss under metric="ssim"/"mix":
+    row-slab custom-VJP renders + the ppermute halo exchange must be
+    transparent to jax.grad (ppermute transposes to the inverse ring), so
+    values, fits, and splat gradients all match the unsharded image-path
+    loss. Closes round-2 verdict #1 for the sharded route."""
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+
+    Hm = Wm = 32
+    m = mesh_mod.make_mesh(2, 2, cpu_devices(8)[:4])
+    gnm = GenomeConfig(n_splats=8, min_scale=1.0, max_scale=0.3)
+    pop = genome.new_population(key, 2, 8, Hm, Wm, gnm.min_scale, gnm.max_scale)
+    tg = genome.new_population(
+        jax.random.PRNGKey(2007), 1, 8, Hm, Wm, gnm.min_scale, gnm.max_scale
+    )[0]
+    target = oracle.render_xla(codec.genome_to_renderer(tg), Hm, Wm)
+    wm = jnp.linspace(0.3, 1.0, Hm)[:, None] * jnp.ones((Hm, Wm))
+
+    for metric in ("ssim", "mix"):
+        for mask in (None, wm):
+            obj_ref = objective.Objective(
+                H=Hm, W=Wm, impl="pallas", interpret=True, metric=metric,
+                ssim_weight=0.5,
+            )
+            obj_sh = shard.sharded_objective(obj_ref, m)
+            loss_ref = gradient.make_loss_fn(obj_ref, gnm)
+            loss_sh = gradient.make_loss_fn(obj_sh, gnm)
+            (l0, f0), g0 = jax.value_and_grad(loss_ref, has_aux=True)(pop, target, mask)
+            (l1, f1), g1 = jax.jit(jax.value_and_grad(loss_sh, has_aux=True))(
+                jax.device_put(pop, mesh_mod.pop_sharding(m)),
+                shard.place_target(target, m),
+                shard.place_mask(mask, m),
+            )
+            msg = f"metric={metric} mask={'yes' if mask is not None else 'no'}"
+            np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5, err_msg=msg)
+            np.testing.assert_allclose(
+                np.asarray(f1), np.asarray(f0), rtol=2e-5, atol=1e-7, err_msg=msg
+            )
+            np.testing.assert_allclose(
+                np.asarray(g1), np.asarray(g0), rtol=2e-4, atol=2e-6, err_msg=msg
+            )
+
+
 def test_fused_sharded_with_chunked_eval(key):
     """obj.chunk wraps eval in lax.map; the fused shard_map path must
     compose with it (and still match the unsharded image route)."""
