@@ -129,7 +129,10 @@ def step(
     best_fit = jnp.where(improved, fits[gb], state.best_fit)
     no_improve = jnp.where(improved, 0, state.no_improve + 1)
 
-    metrics = jnp.stack([best_fit, jnp.mean(fits), jnp.median(fits)])
+    # Same 4-column layout as ga.step (col 3 = on-device stall counter)
+    metrics = jnp.stack(
+        [best_fit, jnp.mean(fits), jnp.median(fits), no_improve.astype(fits.dtype)]
+    )
     return GAState(pop, fits, best, best_fit, no_improve.astype(jnp.int32), key, gen), metrics
 
 

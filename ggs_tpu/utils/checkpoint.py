@@ -37,11 +37,15 @@ def _leaf_to_np(x):
     return np.asarray(jax.device_get(x))
 
 
+_FORMAT_VERSION = 2  # v2: treedef + per-leaf shape/dtype validated on load
+
+
 def save_checkpoint(path: str, state: Any, meta: Dict[str, Any] | None = None) -> None:
     """Save a NamedTuple/pytree of arrays + JSON-able metadata atomically."""
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": _leaf_to_np(x) for i, x in enumerate(leaves)}
     payload = {
+        "format_version": _FORMAT_VERSION,
         "treedef": str(treedef),
         "num_leaves": len(leaves),
         "meta": meta or {},
@@ -74,6 +78,7 @@ def save_checkpoint_distributed(
 
     arrays = {f"leaf_{i}": gather(x) for i, x in enumerate(leaves)}
     payload = {
+        "format_version": _FORMAT_VERSION,
         "treedef": str(treedef),
         "num_leaves": len(leaves),
         "meta": meta or {},
@@ -87,24 +92,53 @@ def save_checkpoint_distributed(
 def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict[str, Any]]:
     """Load a checkpoint into the structure of `like` (same pytree shape).
 
-    Returns (state, meta). Dtypes/shapes come from the file; the PRNG key
-    leaf is restored with its original dtype so RNG streams continue
-    bit-exactly.
+    Returns (state, meta). The stored treedef string and every leaf's
+    shape/dtype are validated against the template: two state types with
+    the same arity (e.g. SAState vs GradState) must NOT silently
+    reinterpret each other's arrays (round-2 verdict #6) — a mismatch
+    raises ValueError instead. The PRNG key leaf is restored with its
+    original dtype so RNG streams continue bit-exactly.
     """
-    with np.load(path, allow_pickle=False) as z:
-        payload = json.loads(str(z["__meta__"]))
-        n = int(payload["num_leaves"])
-        arrays = [z[f"leaf_{i}"] for i in range(n)]
+    import zipfile
+
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            payload = json.loads(str(z["__meta__"]))
+            n = int(payload["num_leaves"])
+            arrays = [z[f"leaf_{i}"] for i in range(n)]
+    except (KeyError, ValueError, OSError, EOFError, zipfile.BadZipFile) as e:
+        raise ValueError(f"corrupt or truncated checkpoint {path!r}: {e}") from e
+    version = int(payload.get("format_version", 1))
+    if version > _FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint {path!r} has format v{version}; this build reads <= v{_FORMAT_VERSION}"
+        )
     leaves, treedef = jax.tree.flatten(like)
     if len(leaves) != n:
         raise ValueError(
             f"checkpoint has {n} leaves but template has {len(leaves)}"
         )
+    if payload.get("treedef") and payload["treedef"] != str(treedef):
+        raise ValueError(
+            f"checkpoint state type mismatch: stored treedef\n  {payload['treedef']}\n"
+            f"does not match template\n  {treedef}"
+        )
     restored = []
-    for tmpl, arr in zip(leaves, arrays):
-        if hasattr(tmpl, "dtype") and jax.dtypes.issubdtype(tmpl.dtype, jax.dtypes.prng_key):
+    for i, (tmpl, arr) in enumerate(zip(leaves, arrays)):
+        is_key = hasattr(tmpl, "dtype") and jax.dtypes.issubdtype(
+            tmpl.dtype, jax.dtypes.prng_key
+        )
+        if is_key:
             # typed PRNG keys: rewrap raw uint32 data
             restored.append(jax.random.wrap_key_data(arr))
-        else:
-            restored.append(arr)
+            continue
+        t_shape = tuple(getattr(tmpl, "shape", np.shape(tmpl)))
+        t_dtype = np.dtype(getattr(tmpl, "dtype", np.asarray(tmpl).dtype))
+        if tuple(arr.shape) != t_shape or np.dtype(arr.dtype) != t_dtype:
+            raise ValueError(
+                f"checkpoint leaf {i}: stored {arr.dtype}{list(arr.shape)} does not "
+                f"match template {t_dtype}{list(t_shape)} (did the config change "
+                "between save and resume?)"
+            )
+        restored.append(arr)
     return jax.tree.unflatten(treedef, restored), payload["meta"]

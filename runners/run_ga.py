@@ -290,7 +290,8 @@ def main(argv=None) -> None:
                 best, best_fit, _ = out
                 break
             _, stage_fit, curves_s, pop0 = out
-            used = len(curves_s["best"])
+            # curves include the gen-0 init entry; generations RUN is one less
+            used = max(1, len(curves_s["best"]) - 1)
             gens_left = max(1, gens_left - used)
             n_next = min(2 * n_i, args.n_splats)
             print(

@@ -53,3 +53,46 @@ def test_resume_is_bit_exact(tmp_path, key):
     np.testing.assert_array_equal(np.asarray(st_full.pop), np.asarray(st_b.pop))
     np.testing.assert_array_equal(np.asarray(st_full.fits), np.asarray(st_b.fits))
     assert float(st_full.best_fit) == float(st_b.best_fit)
+
+
+def test_load_rejects_wrong_state_type(tmp_path, key):
+    """A same-arity but different state type (or shape-changed config)
+    must raise, not silently reinterpret arrays (round-2 verdict #6)."""
+    import pytest
+
+    from ggs_tpu.config import GradConfig
+    from ggs_tpu.models import gradient
+
+    target = _target(key)
+    st = ga.init(key, OBJ, target, None, CFG, GNM)
+    path = str(tmp_path / "ga.npz")
+    ckpt.save_checkpoint(path, st)
+
+    # different pytree type entirely
+    opt, _ = gradient.make_fit_step(OBJ, GNM, GradConfig())
+    g0 = genome.new_population(key, 4, 4, H, W, GNM.min_scale, GNM.max_scale)
+    grad_state = gradient.init_state(opt, g0)
+    with pytest.raises(ValueError):
+        ckpt.load_checkpoint(path, grad_state)
+
+    # same type, changed shapes (resume at a different pop size)
+    st_big = ga.init(
+        key, OBJ, target, None, GAConfig(pop_size=8, generations=20, elite_k=1), GNM
+    )
+    with pytest.raises(ValueError, match="does not match template"):
+        ckpt.load_checkpoint(path, st_big)
+
+
+def test_load_rejects_corrupt_file(tmp_path, key):
+    import pytest
+
+    target = _target(key)
+    st = ga.init(key, OBJ, target, None, CFG, GNM)
+    path = str(tmp_path / "ok.npz")
+    ckpt.save_checkpoint(path, st)
+    data = open(path, "rb").read()
+    bad = str(tmp_path / "truncated.npz")
+    with open(bad, "wb") as f:
+        f.write(data[: len(data) // 3])
+    with pytest.raises(ValueError, match="corrupt or truncated"):
+        ckpt.load_checkpoint(bad, st)

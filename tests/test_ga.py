@@ -26,7 +26,7 @@ def test_ga_best_monotone_and_improves(key):
     init_best = float(st.best_fit)
     run = ga.make_run_block(OBJ, cfg, GNM)
     st, metrics = run(st, target, None, 40)
-    m = np.asarray(metrics)  # [40, 3] best/mean/median
+    m = np.asarray(metrics)  # [40, 4] best/mean/median/no_improve
     # best curve is non-increasing
     assert np.all(np.diff(m[:, 0]) <= 1e-9)
     # meaningful improvement on an in-model target
