@@ -8,6 +8,8 @@ Configs (BASELINE.json "configs" + render microbenchmarks):
     sa-64-gray           SA iterations/s: 64 splats -> 64^2 target
     ga-256               GA generations/s: pop 64, 256 splats -> 256^2
     grad-2k              Adam steps/s: 2000 splats @ 512^2 (pallas VJP)
+    grad-10k-1024        Adam steps/s: 10k splats @ 1024^2 (chunk-chained VJP)
+    grad-pop-2k          population Adam: 16 genomes x 2k splats @ 512^2
     memetic-256          hybrid GA+SGD generations/s: pop 256 (chunked eval)
 
 Each config prints one JSON line; --out also writes the list to a file.
@@ -169,6 +171,84 @@ def bench_grad(quick: bool):
     ]
 
 
+def bench_grad_big(quick: bool):
+    """Chained-VJP Adam at the multi-host config's gradient scale: 10k
+    splats @ 1024^2 (quick: 8.5k @ 512^2). 10k splats exceed one SMEM pass,
+    so the backward runs the chunk-chained custom-VJP (render_grad.py's
+    chained path) — correctness is tested, this row makes its throughput a
+    tracked number (round-2 verdict #4a)."""
+    import jax
+
+    from ggs_tpu.config import GenomeConfig, GradConfig
+    from ggs_tpu.models import genome, gradient
+    from ggs_tpu.ops import objective
+
+    H = W = 512 if quick else 1024
+    N = 8500 if quick else 10_000
+    gnm = GenomeConfig(n_splats=N)
+    obj = objective.Objective(H=H, W=W)
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3))
+    cfg = GradConfig(lr=1e-2)
+    opt, _ = gradient.make_fit_step(obj, gnm, cfg)
+    g0 = genome.new_population(jax.random.PRNGKey(0), 1, N, H, W)
+    state = gradient.init_state(opt, g0)
+    run = gradient.make_run_block(obj, gnm, cfg)
+    iters = 5 if quick else 50
+    state, m = run(state, tgt, None, iters)  # compile at the same static length
+    _sync(m)
+    t0 = time.perf_counter()
+    state, m = run(state, tgt, None, iters)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / iters
+    return [
+        {
+            "config": "grad-10k-1024",
+            "metric": "Adam steps/s (fwd+bwd)",
+            "value": round(1.0 / dt, 2),
+            "detail": f"{N} splats @ {H}x{W}, chunk-chained custom-VJP",
+        }
+    ]
+
+
+def bench_grad_pop(quick: bool):
+    """Population-batch Adam: B genomes x 2k splats @ 512^2 fitted in one
+    jitted block (the memetic path's refinement shape; round-2 verdict
+    #4b). Reports batch-steps/s and genome-steps/s."""
+    import jax
+
+    from ggs_tpu.config import GenomeConfig, GradConfig
+    from ggs_tpu.models import genome, gradient
+    from ggs_tpu.ops import objective
+
+    H = W = 512
+    N = 2000
+    B = 4 if quick else 16
+    gnm = GenomeConfig(n_splats=N)
+    obj = objective.Objective(H=H, W=W)
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3))
+    cfg = GradConfig(lr=1e-2)
+    opt, _ = gradient.make_fit_step(obj, gnm, cfg)
+    g0 = genome.new_population(jax.random.PRNGKey(0), B, N, H, W)
+    state = gradient.init_state(opt, g0)
+    run = gradient.make_run_block(obj, gnm, cfg)
+    iters = 5 if quick else 50
+    state, m = run(state, tgt, None, iters)  # compile at the same static length
+    _sync(m)
+    t0 = time.perf_counter()
+    state, m = run(state, tgt, None, iters)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / iters
+    return [
+        {
+            "config": "grad-pop-2k",
+            "metric": "population Adam steps/s (fwd+bwd)",
+            "value": round(1.0 / dt, 2),
+            "detail": f"B={B} x {N} splats @ {H}x{W}; "
+            f"{round(B / dt, 1)} genome-steps/s",
+        }
+    ]
+
+
 def bench_memetic(quick: bool):
     import jax
 
@@ -269,6 +349,8 @@ BENCHES = {
     "sa": bench_sa,
     "ga": bench_ga,
     "grad": bench_grad,
+    "gradbig": bench_grad_big,
+    "gradpop": bench_grad_pop,
     "memetic": bench_memetic,
     "big": bench_big,
     "canvas4k": bench_canvas4k,

@@ -84,15 +84,16 @@ def test_ssim_bounded_on_tpu(key):
 
 
 def test_compiled_fast_mode_close_and_ranking_stable(key):
-    """precision="fast" COMPILED (exp2 folding + Pallas prep kernel): stays
-    within the documented ~5e-5 of the exact render and preserves the
+    """precision="fast" COMPILED (exp2 folding + Pallas prep kernel + the
+    epsilon-contribution tile cull): stays within ~the cull epsilon (2e-3
+    default, sub-u8-quantum) of the exact render and preserves the
     fitness ranking of a candidate batch."""
     H, W = 96, 160
     g = genome.new_population(key, 16, 48, H, W, 1.0, 0.4)
     g9 = codec.genome_to_renderer(g)
     exact = _on_tpu(lambda g: rp.render_pallas(g, H, W), g9)
     fast = _on_tpu(lambda g: rp.render_pallas(g, H, W, precision="fast"), g9)
-    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=4e-3)
 
     tgt = _on_tpu(
         lambda k: jax.random.uniform(k, (H, W, 3), jnp.float32), jax.random.PRNGKey(1)
@@ -135,6 +136,64 @@ def test_compiled_scatter_binning_bitexact_render(key):
         c = dc_n[0, t]
         np.testing.assert_array_equal(si_n[0, t, :c], di_n[0, t, :c])
     assert np.isfinite(np.asarray(auto)).all()
+
+
+def test_compiled_sharded_paths_on_device(key):
+    """The GSPMD-sharded evaluator/loss/metric COMPILED on a real device
+    mesh (1 chip: pop=1 x tile=1). The CPU suite runs these shard_map'd
+    Pallas kernels in interpret mode only, which misses the
+    Mosaic-compile-only failure class (CLAUDE.md); this drives the exact
+    code a real slice executes — row-slab partial kernels, psum, the SSIM
+    halo ppermute — through the compiler and checks equality with the
+    unsharded paths (round-2 verdict weak-spot #3)."""
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops import objective
+    from ggs_tpu.parallel import mesh as mesh_mod
+    from ggs_tpu.parallel import shard
+
+    H = W = 64
+    N, B = 16, 4
+    gnm = GenomeConfig(n_splats=N)
+    m = mesh_mod.make_mesh(1, 1, _TPUS[:1])
+    pop = genome.new_population(key, B, N, H, W, 1.0, 0.4)
+    tg = genome.new_population(jax.random.PRNGKey(991), 1, N, H, W, 1.0, 0.4)[0]
+    target = _on_tpu(lambda g: oracle.render_xla(codec.genome_to_renderer(g), H, W), tg)
+    wm = jnp.linspace(0.3, 1.0, H)[:, None] * jnp.ones((H, W))
+
+    for metric in ("mse", "mix"):
+        obj = objective.Objective(
+            H=H, W=W, impl="pallas", metric=metric, ssim_weight=0.5
+        )
+        obj_s = shard.sharded_objective(obj, m)
+        assert obj_s.interpret is False  # compiled, or the test proves nothing
+        pop_s = jax.device_put(pop, mesh_mod.pop_sharding(m))
+        target_s = shard.place_target(target, m)
+        wm_s = shard.place_mask(wm, m)
+
+        # fused sharded fitness (row-slab Pallas partials + psum; for
+        # metric="mix" also the halo ppermute + sharded SSIM partials)
+        ref = _on_tpu(lambda p, t, w: objective.evaluate(obj, p, t, w), pop, target, wm)
+        got = jax.jit(lambda p, t, w: objective.evaluate(obj_s, p, t, w))(
+            pop_s, target_s, wm_s
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6,
+            err_msg=f"fused sharded fitness, metric={metric}",
+        )
+
+        # sharded differentiable loss (row-slab custom-VJP + grad psum)
+        vg_ref = jax.value_and_grad(gradient.make_loss_fn(obj, gnm), has_aux=True)
+        vg_sh = jax.jit(
+            jax.value_and_grad(gradient.make_loss_fn(obj_s, gnm), has_aux=True)
+        )
+        (l0, f0), g0 = _on_tpu(vg_ref, pop, target, wm)
+        (l1, f1), g1 = vg_sh(pop_s, target_s, wm_s)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g0), rtol=2e-4, atol=2e-6,
+            err_msg=f"sharded loss grad, metric={metric}",
+        )
 
 
 def test_compiled_fused_loss_grad_batched(key):
