@@ -472,51 +472,31 @@ def _bin_splats_dense(
 _N_COARSE = 8  # coarse row-bands for two-level scatter (fits SMEM lists)
 
 
-def _coarse_bin_kernel(
-    rng_ref,  # (1, 4, N) SMEM i32
-    gl_ref,  # (1, _N_COARSE, cap_g) SMEM i32 out: band splat lists
-    gcnt_ref,  # (1, _N_COARSE, 1) SMEM i32 out
-    *,
-    rpt: int,  # tile rows per coarse band
-    n_ty: int,
-    cap_g: int,
-    N: int,
-):
-    """Level 1 of the two-level scatter: one walk of all N splats appends
-    each to the list of every coarse row-band (rpt tile rows) it touches —
-    ascending order preserved. Level 2 then walks only its band's list."""
+def _band_lists_xla(ty0t, ty1t, n_ty: int, rpt: int, cap_g: int):
+    """Level 1 of the two-level scatter, VECTORIZED: per coarse row-band
+    (rpt tile rows) ascending splat lists + counts, as a [B, _N_COARSE, N]
+    overlap matrix compacted by lax.sort. Replaces the scalar coarse-walk
+    Pallas kernel (round-2 verdict #3): with only _N_COARSE bands the
+    dense matrix is tiny (8 x N lanes) and the VPU sort beats ~N scalar
+    loop iterations at ~40-60 cycles each; the fine scatter kernel then
+    does the ONLY remaining scalar walk, over its own band's list.
+    Ascending sort output == the scalar walk's ascending append order, so
+    fine lists are unchanged bit-for-bit (equality tests pin this).
 
-    def z(i, _):
-        gcnt_ref[0, i, 0] = 0
-        return 0
-
-    jax.lax.fori_loop(0, _N_COARSE, z, 0)
-
-    def per_splat(s, _):
-        a = jnp.maximum(rng_ref[0, 2, s], 0) // rpt
-        b = jnp.minimum(rng_ref[0, 3, s], n_ty - 1) // rpt
-
-        def band(c, _):
-            q = gcnt_ref[0, c, 0]
-
-            @pl.when(q < cap_g)
-            def _():
-                gl_ref[0, c, q] = s
-
-            gcnt_ref[0, c, 0] = q + 1
-            return 0
-
-        # b < a (splat above/below the canvas) -> no iterations
-        jax.lax.fori_loop(a, b + 1, band, 0)
-        return 0
-
-    jax.lax.fori_loop(0, N, per_splat, 0)
-
-    def clamp(i, _):
-        gcnt_ref[0, i, 0] = jnp.minimum(gcnt_ref[0, i, 0], cap_g)
-        return 0
-
-    jax.lax.fori_loop(0, _N_COARSE, clamp, 0)
+    ty0t/ty1t are TILE row coords [B, N] (empty boxes have ty1t < ty0t
+    and land in no band). cap_g >= N so lists are lossless; entries past
+    gcnt are the sentinel N."""
+    B, N = ty0t.shape
+    a = jnp.maximum(ty0t, 0) // rpt  # [B, N]
+    b = jnp.minimum(ty1t, n_ty - 1) // rpt
+    c = jnp.arange(_N_COARSE, dtype=jnp.int32)[None, :, None]  # [1, C, 1]
+    ov = (a[:, None, :] <= c) & (b[:, None, :] >= c)  # [B, C, N]
+    order = jnp.where(ov, jnp.arange(N, dtype=jnp.int32)[None, None, :], jnp.int32(N))
+    gl = jax.lax.sort(order, dimension=-1)
+    if cap_g > N:
+        gl = jnp.pad(gl, ((0, 0), (0, 0), (0, cap_g - N)), constant_values=N)
+    gcnt = jnp.sum(ov, axis=-1, dtype=jnp.int32)[..., None]
+    return gl, gcnt
 
 
 def _scatter_bin_kernel(
@@ -537,7 +517,7 @@ def _scatter_bin_kernel(
     appends each to the SMEM list of every covered tile in this group's
     rows — O(pairs), the reference's per-splat tile-range expansion
     (render.py:59-66) without the torch sort. With `coarse`, the walk runs
-    over this group's coarse-band list (from _coarse_bin_kernel) instead
+    over this group's coarse-band list (from _band_lists_xla) instead
     of all N splats, so total scalar work across groups is ~2x the actual
     pair count rather than n_groups * N.
 
@@ -577,24 +557,46 @@ def _scatter_bin_kernel(
         b = jnp.minimum(rng_ref[0, 3, s] - gy0, rpg - 1)
         tx0 = rng_ref[0, 0, s]
         tx1 = rng_ref[0, 1, s]
+        # One FUSED loop over this splat's (row, col) cover instead of
+        # nested row/col fori_loops: a Mosaic scalar loop costs ~40-60
+        # cycles of machinery per iteration (docs/DESIGN.md §12) and the
+        # nested form pays it per row AND per column; carrying the tile
+        # index with a wrap select and unrolling 2 pairs per iteration
+        # halves the per-pair overhead again. npairs <= 0 (splat misses
+        # this group, or the (1, -1) dead-splat sentinel box -> nx == 0)
+        # skips the loop entirely.
+        nx = tx1 - tx0 + 1
+        npairs = (b - a + 1) * nx
+        row_step = n_tx - nx + 1  # tile-index advance on row wrap
 
-        def row(r, _):
-            base = r * n_tx
+        def append(tl):
+            q = idx_ref[0, tl, 0]
 
-            def col(c, _):
-                tl = base + c
-                q = idx_ref[0, tl, 0]
+            @pl.when(q < cap)
+            def _():
+                idx_ref[0, tl, q + 1] = s
 
-                @pl.when(q < cap)
-                def _():
-                    idx_ref[0, tl, q + 1] = s
+            idx_ref[0, tl, 0] = q + 1
 
-                idx_ref[0, tl, 0] = q + 1
-                return 0
+        def step(tl, c):
+            wrap = c >= tx1
+            return (
+                jnp.where(wrap, tl + row_step, tl + 1),
+                jnp.where(wrap, tx0, c + 1),
+            )
 
-            return jax.lax.fori_loop(tx0, tx1 + 1, col, 0)
+        def pair2(i, st):
+            tl, c = st
+            append(tl)
+            tl1, c1 = step(tl, c)
 
-        jax.lax.fori_loop(a, b + 1, row, 0)  # empty when the splat misses
+            @pl.when(2 * i + 1 < npairs)  # odd tail: last iter is single
+            def _():
+                append(tl1)
+
+            return step(tl1, c1)
+
+        jax.lax.fori_loop(0, (npairs + 1) // 2, pair2, (a * n_tx + tx0, tx0))
         return 0
 
     jax.lax.fori_loop(0, n_walk, per_splat, 0)
@@ -670,29 +672,7 @@ def _bin_splats_scatter(
         # n_groups <= _N_COARSE by construction above, so coarse bands
         # coincide with fine groups (re-walk factor 1).
         rpt = rpg
-        gl, gcnt = pl.pallas_call(
-            functools.partial(
-                _coarse_bin_kernel, rpt=rpt, n_ty=n_ty, cap_g=cap_g, N=N
-            ),
-            grid=(B,),
-            in_specs=[
-                pl.BlockSpec((1, 4, N), lambda b: (b, 0, 0), memory_space=pltpu.SMEM)
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (1, _N_COARSE, cap_g), lambda b: (b, 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (1, _N_COARSE, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, _N_COARSE, cap_g), jnp.int32),
-                jax.ShapeDtypeStruct((B, _N_COARSE, 1), jnp.int32),
-            ],
-            interpret=interpret,
-        )(rng)
+        gl, gcnt = _band_lists_xla(rng[:, 2], rng[:, 3], n_ty, rpt, cap_g)
         in_specs += [
             pl.BlockSpec(
                 (1, _N_COARSE, cap_g), lambda b, g: (b, 0, 0),
