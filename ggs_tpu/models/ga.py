@@ -117,8 +117,17 @@ def step(
     gnm: GenomeConfig,
     sig_max: dict,
     sig_min: dict,
+    blur_sigma=None,
 ) -> Tuple[GAState, jnp.ndarray]:
-    """One generation. Returns (state, [best, mean, median] of the new pop)."""
+    """One generation. Returns (state, [best, mean, median] of the new pop).
+
+    With `blur_sigma` (a traced scalar), candidates are EVALUATED at scale
+    sigma (ops/anneal.blur_genome_axes) against a caller-blurred target —
+    the continuous coarse-to-fine homotopy (docs/DESIGN.md §9c). The
+    population itself evolves unblurred; only the fitness landscape is
+    smoothed, and sigma being dynamic means one compiled step serves the
+    whole schedule.
+    """
     P = state.pop.shape[0]
     # Clamp so elitism always leaves at least one offspring slot (an
     # elite_k >= pop_size config otherwise crashes top_k / freezes the
@@ -127,14 +136,21 @@ def step(
     key, k_off = jax.random.split(state.key)
     gen = state.gen + 1
 
+    def at_scale(g):
+        if blur_sigma is None:
+            return g
+        from ..ops import anneal as anneal_mod
+
+        return anneal_mod.blur_genome_axes(g, blur_sigma)
+
     offspring = _offspring(k_off, state.pop, state.fits, ga, gen, obj, gnm, sig_max, sig_min)
-    off_fits = objective_mod.evaluate(obj, offspring, target, weight_mask)
+    off_fits = objective_mod.evaluate(obj, at_scale(offspring), target, weight_mask)
 
     # Elitism: keep the E best of the current population (algorithm.py:129-141)
     _, elite_idx = jax.lax.top_k(-state.fits, E)
     elites = state.pop[elite_idx]
     if ga.reeval_elites:
-        elite_fits = objective_mod.evaluate(obj, elites, target, weight_mask)
+        elite_fits = objective_mod.evaluate(obj, at_scale(elites), target, weight_mask)
     else:
         elite_fits = state.fits[elite_idx]
 
@@ -169,9 +185,12 @@ def make_run_block(
     sig_min_d = (sig_min or MutSigma.min_defaults()).__dict__
 
     @partial(jax.jit, static_argnames=("num_gens",), donate_argnums=(0,))
-    def run(state: GAState, target, weight_mask, num_gens: int):
+    def run(state: GAState, target, weight_mask, num_gens: int, blur_sigma=None):
         def body(st, _):
-            return step(st, obj, target, weight_mask, ga, gnm, sig_max_d, sig_min_d)
+            return step(
+                st, obj, target, weight_mask, ga, gnm, sig_max_d, sig_min_d,
+                blur_sigma=blur_sigma,
+            )
 
         return jax.lax.scan(body, state, None, length=num_gens)
 
@@ -271,6 +290,8 @@ def genetic_approx(
     recycle_patience: int = 0,
     stall_patience: int = 0,
     weight_mask=None,
+    anneal_sigma0: float = 0.0,
+    anneal_frac: float = 0.6,
 ):
     """Host driver: full GA run with curves/frames/checkpoints.
 
@@ -288,6 +309,14 @@ def genetic_approx(
     recycle_every generations each candidate's recycle_k lowest-impact
     splats are replaced by error-guided ones and the population is
     re-evaluated.
+    anneal_sigma0 > 0 turns on scale-space annealing (ops/anneal, DESIGN
+    §9c): evaluation runs against a sigma-blurred target with sigma-blurred
+    candidates, sigma decaying geometrically from anneal_sigma0 to 0 over
+    the first anneal_frac of the budget. sigma is a dynamic scalar (no
+    recompiles); the population is re-scored whenever sigma steps, so
+    curve values during the anneal phase are energies of the CURRENT
+    smoothed landscape. The importance mask stays the unblurred target's
+    (the §9 fixed-mask lesson). Not supported with n_islands > 1.
     Returns (best_genome [N,9] np, best_fit float, curves dict), plus the
     final population [P,N,9] np when `return_state` (for stage chaining).
     """
@@ -374,6 +403,38 @@ def genetic_approx(
         except Exception:
             pbar = None
 
+    cur_sigma = 0.0
+    cur_target = target
+    if anneal_sigma0 > 0.0:
+        assert n_islands == 1, "scale-space annealing is single-deme only"
+        from ..ops import anneal as anneal_mod
+
+        _radius = anneal_mod.default_radius(anneal_sigma0)
+        _blur_target = jax.jit(
+            lambda t, s: anneal_mod.blur_image(t, s, _radius)
+        )
+
+        @jax.jit
+        def _rescore(st: GAState, tgt, wm, sigma):
+            # sigma stepped: re-score the population and the tracked best
+            # on the NEW landscape so elites' stored fits and the monotone
+            # best tracking stay commensurate with this block's energies.
+            popb = anneal_mod.blur_genome_axes(st.pop, sigma)
+            fits = objective_mod.evaluate(obj, popb, tgt, wm)
+            bb = anneal_mod.blur_genome_axes(st.best[None], sigma)
+            bf = objective_mod.evaluate(obj, bb, tgt, wm)[0]
+            return st._replace(
+                fits=fits, best_fit=bf, no_improve=st.no_improve * 0
+            )
+
+        @jax.jit
+        def _rescore0(st: GAState, tgt, wm):
+            fits = objective_mod.evaluate(obj, st.pop, tgt, wm)
+            bf = objective_mod.evaluate(obj, st.best[None], tgt, wm)[0]
+            return st._replace(
+                fits=fits, best_fit=bf, no_improve=st.no_improve * 0
+            )
+
     gen = start_gen
     last_frame_bucket = gen // max(1, frame_every)
     profiled = not profile_dir
@@ -390,14 +451,27 @@ def genetic_approx(
     try:
         while gen < ga.generations:
             block = min(block_size, ga.generations - gen)
+            if anneal_sigma0 > 0.0:
+                s = anneal_mod.sigma_schedule(
+                    gen, ga.generations, anneal_sigma0, anneal_frac
+                )
+                if s != cur_sigma:
+                    cur_target = _blur_target(target, jnp.float32(s)) if s > 0.0 else target
+                    state = (
+                        _rescore(state, cur_target, weight_mask, jnp.float32(s))
+                        if s > 0.0
+                        else _rescore0(state, cur_target, weight_mask)
+                    )
+                    cur_sigma = s
+            run_args = (jnp.float32(cur_sigma),) if cur_sigma > 0.0 else ()
             t_block = time_mod.perf_counter()
             if not profiled and gen > start_gen:  # skip the compile block
                 profiled = True
                 with profiling.trace(profile_dir):
-                    state, metrics = run(state, target, weight_mask, block)
+                    state, metrics = run(state, cur_target, weight_mask, block, *run_args)
                     jax.block_until_ready(metrics)
             else:
-                state, metrics = run(state, target, weight_mask, block)
+                state, metrics = run(state, cur_target, weight_mask, block, *run_args)
             # [block, 4]: best/mean/median + the stall counter (col 3) —
             # ONE readback per block serves curves, triggers, and the
             # progress bar (each extra device_get costs ~25 ms on the
@@ -435,10 +509,20 @@ def genetic_approx(
                 from . import grow as grow_mod
 
                 k_r = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), gen)
+                # Under annealing, place and score against the CURRENT
+                # (blurred) landscape so the refreshed fits stay
+                # commensurate with the block's energies.
                 new_pop = grow_mod.recycle_population(
-                    k_r, state.pop, recycle_k, target, obj, weight_mask
+                    k_r, state.pop, recycle_k, cur_target, obj, weight_mask
                 )
-                new_fits = objective_mod.evaluate(obj, new_pop, target, weight_mask)
+                eval_pop = new_pop
+                if cur_sigma > 0.0:
+                    from ..ops import anneal as anneal_mod2
+
+                    eval_pop = anneal_mod2.blur_genome_axes(
+                        new_pop, jnp.float32(cur_sigma)
+                    )
+                new_fits = objective_mod.evaluate(obj, eval_pop, cur_target, weight_mask)
                 if mesh is not None:
                     from ..parallel import mesh as mesh_mod2
 

@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
         "generations (0 = periodic-only; composes with --recycle-every)",
     )
     p.add_argument(
+        "--anneal-sigma0", type=float, default=0.0,
+        help="scale-space annealing (continuous coarse-to-fine at fixed "
+        "canvas, zero recompiles): evaluate against a sigma-blurred target "
+        "with sigma-blurred candidates, sigma decaying from this value to "
+        "0 over the first --anneal-frac of the budget (ops/anneal.py)",
+    )
+    p.add_argument("--anneal-frac", type=float, default=0.6)
+    p.add_argument(
         "--grow-stages", type=int, default=1,
         help=">1: error-guided splat growth — stage i fits n-splats/2^(S-1-i) "
         "splats, then appends new splats at each candidate's own highest-"
@@ -192,6 +200,8 @@ def main(argv=None) -> None:
             recycle_patience=args.recycle_patience,
             stall_patience=patience,
             weight_mask=weight_mask,
+            anneal_sigma0=args.anneal_sigma0 if last else 0.0,
+            anneal_frac=args.anneal_frac,
         )
 
     if args.progressive:
