@@ -215,12 +215,33 @@ def make_value_and_grad(obj: Objective, gnm: GenomeConfig):
 
 
 def make_fit_step(obj: Objective, gnm: GenomeConfig, cfg: GradConfig):
-    """Build (optimizer, one projected-Adam step over a genome batch)."""
+    """Build (optimizer, one projected-Adam step over a genome batch).
+
+    The step takes an optional `blur_sigma` (traced scalar): when set, the
+    loss is evaluated on sigma-blurred genomes (ops/anneal.blur_genome_axes
+    — exact per-splat scale-space blur) against a caller-blurred target,
+    and gradients chain through the blur back to the RAW genome — the
+    continuous coarse-to-fine homotopy for Adam (docs/DESIGN.md §9c).
+    Composes with every value_and_grad backend (incl. the fused kernel,
+    which only ever sees the blurred genome batch) via an explicit vjp of
+    the blur transform.
+    """
     opt = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
     value_and_grad = make_value_and_grad(obj, gnm)
 
-    def step(state: GradState, target, weight_mask) -> Tuple[GradState, jnp.ndarray]:
-        (loss, fits), grads = value_and_grad(state.g, target, weight_mask)
+    def step(
+        state: GradState, target, weight_mask, blur_sigma=None
+    ) -> Tuple[GradState, jnp.ndarray]:
+        if blur_sigma is None:
+            (loss, fits), grads = value_and_grad(state.g, target, weight_mask)
+        else:
+            from ..ops import anneal as anneal_mod
+
+            gb, blur_vjp = jax.vjp(
+                lambda g_: anneal_mod.blur_genome_axes(g_, blur_sigma), state.g
+            )
+            (loss, fits), grads_b = value_and_grad(gb, target, weight_mask)
+            (grads,) = blur_vjp(grads_b)
         updates, opt_state = opt.update(grads, state.opt_state, state.g)
         g = optax.apply_updates(state.g, updates)
         # Projection: same domain clamps the evolutionary operators keep
@@ -240,9 +261,9 @@ def make_run_block(obj: Objective, gnm: GenomeConfig, cfg: GradConfig):
     opt, step = make_fit_step(obj, gnm, cfg)
 
     @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
-    def run(state: GradState, target, weight_mask, num_steps: int):
+    def run(state: GradState, target, weight_mask, num_steps: int, blur_sigma=None):
         def body(st, _):
-            return step(st, target, weight_mask)
+            return step(st, target, weight_mask, blur_sigma=blur_sigma)
 
         return jax.lax.scan(body, state, None, length=num_steps)
 
@@ -262,9 +283,17 @@ def fit_adam(
     seed: int = 42,
     log_every: int = 100,
     progress: bool = True,
+    anneal_sigma0: float = 0.0,
+    anneal_frac: float = 0.6,
 ):
     """Host driver: Adam-fit `init_genomes` (or a fresh random individual)
-    to the target. Returns (best genome [N,9] np, best loss, loss curve)."""
+    to the target. Returns (best genome [N,9] np, best loss, loss curve).
+
+    anneal_sigma0 > 0 runs the scale-space homotopy (docs/DESIGN.md §9c):
+    the loss is the sigma-smoothed landscape with sigma decaying to 0 over
+    the first anneal_frac of the step budget; curve values during that
+    phase are smoothed-landscape losses. The final report is always the
+    true (sigma = 0) objective."""
     import numpy as np
 
     obj = obj if obj is not None else Objective(H=H, W=W, impl="xla")
@@ -293,12 +322,26 @@ def fit_adam(
         except Exception:
             pbar = None
 
+    if anneal_sigma0 > 0.0:
+        from ..ops import anneal as anneal_mod
+
+        _radius = anneal_mod.default_radius(anneal_sigma0)
+        _blur_target = jax.jit(lambda t, s: anneal_mod.blur_image(t, s, _radius))
+    cur_sigma = 0.0
+    cur_target = target
+
     curve = []
     done = 0
     try:
         while done < cfg.steps:
             block = min(log_every, cfg.steps - done)
-            state, fits = run(state, target, weight_mask, block)
+            if anneal_sigma0 > 0.0:
+                s = anneal_mod.sigma_schedule(done, cfg.steps, anneal_sigma0, anneal_frac)
+                if s != cur_sigma:
+                    cur_target = _blur_target(target, jnp.float32(s)) if s > 0.0 else target
+                    cur_sigma = s
+            run_args = (jnp.float32(cur_sigma),) if cur_sigma > 0.0 else ()
+            state, fits = run(state, cur_target, weight_mask, block, *run_args)
             curve.extend(np.asarray(jax.device_get(fits)).min(axis=1).tolist())
             done += block
             if pbar is not None:

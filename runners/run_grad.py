@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--ssim-weight", type=float, default=0.5,
                    help="mix weight on the DSSIM term (metric=mix)")
+    p.add_argument(
+        "--anneal-sigma0", type=float, default=0.0,
+        help="scale-space homotopy: optimize the sigma-smoothed landscape "
+        "first, sigma decaying to 0 over the first --anneal-frac of the "
+        "steps (ops/anneal.py, docs/DESIGN.md 9c)",
+    )
+    p.add_argument("--anneal-frac", type=float, default=0.6)
     p.add_argument("--pop-shards", type=int, default=1, help="mesh: genome-batch shards")
     p.add_argument("--tile-shards", type=int, default=1, help="mesh: canvas-row shards (grads psum over this axis)")
     return p
@@ -89,6 +96,7 @@ def main(argv=None) -> None:
     best, best_loss, curve = gradient.fit_adam(
         t, H, W, obj=obj, gnm=gnm, cfg=cfg, init_genomes=init,
         weight_mask=wm, seed=args.seed, log_every=args.log_every,
+        anneal_sigma0=args.anneal_sigma0, anneal_frac=args.anneal_frac,
     )
     print("Final loss:", best_loss)
     if best_loss > 0 and args.metric == "mse":

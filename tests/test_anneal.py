@@ -128,3 +128,57 @@ def test_ga_anneal_smoke(key):
     # Final phase runs at sigma=0, so both are TRUE objective values.
     assert bf_anneal < 1.5 * bf_plain + 1e-3
     assert np.isfinite(bf_anneal)
+
+
+def test_adam_anneal_step_backends_agree(key):
+    """The blurred-loss Adam step chains gradients through the genome blur
+    identically on the XLA-autodiff and custom-VJP Pallas backends."""
+    from ggs_tpu.config import GenomeConfig, GradConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops.objective import Objective
+
+    H, W = 32, 128
+    g0 = jax.random.uniform(key, (2, 6, 9), minval=0.1, maxval=0.9)
+    g0 = g0.at[..., 2:4].set(1.2).at[..., 5:].mul(255.0)
+    target = jax.random.uniform(jax.random.fold_in(key, 1), (H, W, 3))
+    gnm = GenomeConfig(n_splats=6)
+    cfg = GradConfig(lr=1e-2)
+    outs = []
+    for obj in (
+        Objective(H=H, W=W, impl="xla"),
+        Objective(H=H, W=W, impl="pallas", interpret=True),
+    ):
+        opt, step = gradient.make_fit_step(obj, gnm, cfg)
+        st = gradient.init_state(opt, g0)
+        st2, fits = step(st, target, None, blur_sigma=jnp.float32(2.5))
+        outs.append((np.asarray(st2.g), np.asarray(fits)))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
+    # Adam's first update is ~sign(grad)*lr, so near-zero gradients amplify
+    # backend f32 noise; a missing blur chain rule would diverge by O(lr).
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-3)
+
+
+def test_adam_anneal_smoke(key):
+    """Annealed fit_adam runs the full sigma schedule and ends at the true
+    objective, converging comparably to plain Adam."""
+    from ggs_tpu.config import GenomeConfig, GradConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops.objective import Objective
+
+    H, W = 40, 56
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    target = np.stack([0.3 + 0.5 * x / W, 0.6 - 0.3 * y / H, 0.5 + 0 * x], -1)
+    obj = Objective(H=H, W=W, impl="xla")
+    gnm = GenomeConfig(n_splats=8)
+    cfg = GradConfig(lr=2e-2, steps=120)
+    _, loss_plain, _ = gradient.fit_adam(
+        target, H, W, obj=obj, gnm=gnm, cfg=cfg, seed=5, log_every=30,
+        progress=False,
+    )
+    _, loss_anneal, curve = gradient.fit_adam(
+        target, H, W, obj=obj, gnm=gnm, cfg=cfg, seed=5, log_every=30,
+        progress=False, anneal_sigma0=5.0, anneal_frac=0.5,
+    )
+    assert len(curve) == 120
+    assert np.isfinite(loss_anneal)
+    assert loss_anneal < 1.5 * loss_plain + 1e-3
