@@ -22,7 +22,48 @@ def _env_int(name, default):
     return int(os.environ.get(name, default))
 
 
+def _ensure_live_backend(timeout_s: float = 240.0) -> None:
+    """Don't let a dead accelerator tunnel hang the whole bench.
+
+    The axon TPU plugin retries a lost relay FOREVER inside jax backend
+    init (observed: client in a nanosleep retry loop, relay accepting and
+    immediately dropping connections), so `import jax; jax.devices()`
+    never returns and the driver records nothing at all. Probe backend
+    init in a throwaway subprocess with a timeout; if it hangs or fails,
+    re-exec this process with the plugin stripped and CPU forced — a
+    degraded-but-honest record (hardware: cpu) beats a hang.
+    """
+    if os.environ.get("GGS_BENCH_SKIP_PROBE") == "1":
+        return
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if ok:
+        return
+    print(
+        f"[bench] accelerator backend init hung/failed (>{timeout_s:.0f}s); "
+        "re-exec on CPU",
+        file=sys.stderr,
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":") if "axon" not in p
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GGS_BENCH_SKIP_PROBE"] = "1"
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
 def main() -> None:
+    _ensure_live_backend()
     import jax
     import jax.numpy as jnp
 
