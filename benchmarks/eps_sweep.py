@@ -1,0 +1,102 @@
+"""Fast-mode cull-ε sweep: throughput vs selection fidelity.
+
+The tight ε-aware AABB cull (docs/DESIGN.md §8c) truncates each splat at
+the radius where its contribution α·exp(−r²/2) falls below ε
+(GGS_CULL_EPS, default 2e-3). Larger ε cuts more (tile, splat) pairs —
+the quantity that sets the walk's 147 µs/render floor — at the cost of a
+larger canvas tolerance. This tool measures, for ONE ε (the constant is
+baked at import time, so a sweep runs one process per value):
+
+  * fused fast-fitness throughput (the bench.py protocol: one sync
+    amortized over all iters, warmup at the timed shape),
+  * pairs/render via the binning counts,
+  * selection fidelity: across R random populations, whether fast-mode
+    fitness ranks candidates identically to the exact mode (argsort
+    equality) — the property that makes fast mode legal for evolution.
+
+Usage:
+  for e in 2e-3 4e-3 8e-3; do GGS_CULL_EPS=$e python benchmarks/eps_sweep.py; done
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ggs_tpu.models import genome
+    from ggs_tpu.ops import codec, mask as mask_mod, objective
+    from ggs_tpu.ops import render_pallas as rp
+
+    H = W = 512
+    N = 512
+    B = 256
+    iters = int(os.environ.get("GGS_SWEEP_ITERS", "50"))
+    rounds = int(os.environ.get("GGS_SWEEP_RANK_ROUNDS", "20"))
+
+    target = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3), jnp.float32)
+    wm = mask_mod.compute_importance_mask(target, H, W, smooth=3, strength=0.7)
+    obj_fast = objective.Objective(H=H, W=W, impl="pallas", precision="fast")
+    obj_exact = objective.Objective(H=H, W=W, impl="pallas")
+
+    @jax.jit
+    def ev_fast(pop):
+        return objective.evaluate(obj_fast, pop, target, wm)
+
+    @jax.jit
+    def ev_exact(pop):
+        return objective.evaluate(obj_exact, pop, target, wm)
+
+    pop0 = genome.new_population(jax.random.PRNGKey(0), B, N, H, W)
+
+    # Throughput (fast fused).
+    float(ev_fast(pop0).sum())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = ev_fast(pop0)
+    float(out.sum())
+    rps = (B * iters) / (time.perf_counter() - t0)
+
+    # Pairs/render under this ε (tight boxes feed binning directly).
+    @jax.jit
+    def pairs_fn(pop):
+        g9 = codec.genome_to_renderer(pop)
+        p = codec.preprocess(g9, H, W, 3.0)
+        p = rp._tighten_boxes(p, 3.0)
+        _, cnt = rp._bin_splats(p=p, n_tx=-(-W // 128), n_ty=-(-H // 64),
+                                tile_h=64, tile_w=128, cap=N)
+        return jnp.sum(cnt)
+
+    pairs = float(pairs_fn(pop0)) / B
+
+    # Selection fidelity: identical argsort fast vs exact over R pops.
+    mismatches = 0
+    max_rankdev = 0
+    for r in range(rounds):
+        pop = genome.new_population(jax.random.PRNGKey(100 + r), 64, N, H, W)
+        f = jnp.argsort(ev_fast(pop))
+        e = jnp.argsort(ev_exact(pop))
+        dev = int(jnp.sum(f != e))
+        mismatches += int(dev > 0)
+        max_rankdev = max(max_rankdev, dev)
+
+    print(
+        json.dumps(
+            {
+                "cull_eps": rp._CULL_EPS,
+                "renders_per_s_fast": round(rps, 1),
+                "pairs_per_render": round(pairs, 1),
+                "rank_mismatch_pops": mismatches,
+                "rank_rounds": rounds,
+                "max_rank_positions_off": max_rankdev,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -499,6 +499,26 @@ def _band_lists_xla(ty0t, ty1t, n_ty: int, rpt: int, cap_g: int):
     return gl, gcnt
 
 
+def _blocked_fori(n: int, k: int, body, init):
+    """fori_loop over a STATIC trip count with a k-wide body: amortizes
+    Mosaic's ~40-60-cycle scalar-loop machinery (docs/DESIGN.md §12)
+    across k body copies. (lax.fori_loop's own `unroll` only supports
+    full unroll in the Mosaic lowering; full unroll of a few-hundred-tile
+    loop bloats compile, so block manually.) Remainder iterations are
+    emitted unrolled after the loop."""
+    nb = n // k
+
+    def blk(j, c):
+        for t in range(k):
+            c = body(j * k + t, c)
+        return c
+
+    c = jax.lax.fori_loop(0, nb, blk, init) if nb else init
+    for r in range(nb * k, n):
+        c = body(r, c)
+    return c
+
+
 def _scatter_bin_kernel(
     rng_ref,  # (1, 4, N) SMEM i32: tx0, tx1, ty0, ty1 (tile coords)
     *refs,  # [gl_ref, gcnt_ref if coarse,] idx_ref, ovf_ref (1,1,1,1)
@@ -541,7 +561,10 @@ def _scatter_bin_kernel(
         idx_ref[0, i, 0] = 0
         return 0
 
-    jax.lax.fori_loop(0, tiles, z, 0)
+    # Static trip count: block to amortize the ~40-60-cycle scalar-loop
+    # machinery (docs/DESIGN.md §12) over 8 stores per branch. (Mosaic's
+    # fori_loop only supports full unroll, hence manual blocking.)
+    _blocked_fori(tiles, 8, z, 0)
 
     if coarse:
         band = (g * rpg) // rpt
@@ -585,18 +608,21 @@ def _scatter_bin_kernel(
                 jnp.where(wrap, tx0, c + 1),
             )
 
-        def pair2(i, st):
+        PW = 4  # pairs per loop iteration (machinery amortization)
+
+        def pairw(i, st):
             tl, c = st
-            append(tl)
-            tl1, c1 = step(tl, c)
+            append(tl)  # pair PW*i always exists (trip count = ceil/PW)
+            for k in range(1, PW):
+                tl, c = step(tl, c)
 
-            @pl.when(2 * i + 1 < npairs)  # odd tail: last iter is single
-            def _():
-                append(tl1)
+                @pl.when(PW * i + k < npairs)  # tail: last iter is partial
+                def _(tl=tl):
+                    append(tl)
 
-            return step(tl1, c1)
+            return step(tl, c)
 
-        jax.lax.fori_loop(0, (npairs + 1) // 2, pair2, (a * n_tx + tx0, tx0))
+        jax.lax.fori_loop(0, (npairs + PW - 1) // PW, pairw, (a * n_tx + tx0, tx0))
         return 0
 
     jax.lax.fori_loop(0, n_walk, per_splat, 0)
@@ -606,17 +632,20 @@ def _scatter_bin_kernel(
         q = jnp.minimum(q_true, cap)
         idx_ref[0, i, 0] = q
 
-        def w(j, _):
-            idx_ref[0, i, j + 1] = N
-            return 0
+        # pad_slots is static: unrolled predicated stores instead of a
+        # dynamic fori_loop (saves the loop machinery per sentinel).
+        for j in range(pad_slots):
 
-        jax.lax.fori_loop(q, jnp.minimum(q + pad_slots, cap), w, 0)
+            @pl.when(q + j < cap)
+            def _(j=j):
+                idx_ref[0, i, q + 1 + j] = N
+
         return jnp.maximum(mx, q_true)
 
     # Max true count in this group: the caller falls back to the dense
     # path when any tile exceeds cap (silent truncation would break the
     # binning-equality invariant whenever cap < the requested capacity).
-    ovf_ref[0, 0, 0, 0] = jax.lax.fori_loop(0, tiles, finish, 0)
+    ovf_ref[0, 0, 0, 0] = _blocked_fori(tiles, 4, finish, 0)
 
 
 def _bin_splats_scatter(
