@@ -132,8 +132,14 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict[str, Any]]:
             # typed PRNG keys: rewrap raw uint32 data
             restored.append(jax.random.wrap_key_data(arr))
             continue
-        t_shape = tuple(getattr(tmpl, "shape", np.shape(tmpl)))
-        t_dtype = np.dtype(getattr(tmpl, "dtype", np.asarray(tmpl).dtype))
+        # Lazy fallbacks: getattr's default is evaluated EAGERLY, and
+        # np.asarray on a multi-process global jax.Array raises (its value
+        # spans non-addressable devices) — so never touch the data when the
+        # template already carries shape/dtype attributes.
+        t_shape = tuple(tmpl.shape) if hasattr(tmpl, "shape") else np.shape(tmpl)
+        t_dtype = (
+            np.dtype(tmpl.dtype) if hasattr(tmpl, "dtype") else np.asarray(tmpl).dtype
+        )
         if tuple(arr.shape) != t_shape or np.dtype(arr.dtype) != t_dtype:
             raise ValueError(
                 f"checkpoint leaf {i}: stored {arr.dtype}{list(arr.shape)} does not "

@@ -291,6 +291,30 @@ def test_scatter_binning_matches_dense(key):
                 assert (si[b, t, c:pad_end] == 40).all()
 
 
+def test_scatter_binning_odd_tile_count(key):
+    """Tile counts NOT divisible by the blocked-loop widths (8 for the
+    zero-init walk, 4 for the finish walk) exercise _blocked_fori's
+    unrolled remainder stores — a single-group scatter config can have
+    any tile count (the %8 constraint only applies when n_groups > 1)."""
+    from ggs_tpu.ops.render_pallas import _bin_splats_scatter, _bin_splats_xy
+    from ggs_tpu.ops import codec as codec_mod
+
+    H, W = 32, 384
+    n_tx, n_ty, th, tw = 3, 2, 16, 128  # tiles = 6: %8 != 0, %4 != 0
+    g9 = _genomes(key, 2, 30, H, W, max_scale=0.5)
+    p = codec_mod.preprocess(g9, H, W, 3.0)
+    di, dc = _bin_splats_xy(p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, th, tw, 30)
+    si, sc = _bin_splats_scatter(
+        p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, th, tw, 30, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(dc), np.asarray(sc))
+    di, si, dc = np.asarray(di), np.asarray(si), np.asarray(dc)
+    for b in range(di.shape[0]):
+        for t in range(di.shape[1]):
+            c = dc[b, t]
+            np.testing.assert_array_equal(si[b, t, :c], di[b, t, :c])
+
+
 def test_scatter_binning_negative_rows(key):
     """Row-slab shifts can push AABBs to negative tile rows (the sharded
     partial paths); scatter must match dense there too."""
