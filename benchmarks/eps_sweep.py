@@ -21,7 +21,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -73,16 +76,30 @@ def main() -> None:
 
     pairs = float(pairs_fn(pop0)) / B
 
-    # Selection fidelity: identical argsort fast vs exact over R pops.
+    # Selection fidelity fast vs exact over R pops. Random-init
+    # populations cluster tightly in fitness, so bitwise argsort equality
+    # is the wrong bar — adjacent swaps among near-ties are invisible to
+    # selection. Report (a) how many pops have ANY argsort deviation and
+    # (b) the largest EXACT-fitness gap ever inverted (fast says a<b,
+    # exact says b<a): selection only steers wrong when that gap is large
+    # relative to the fitness scale.
     mismatches = 0
     max_rankdev = 0
+    max_inv_gap = 0.0  # largest relative exact-gap inverted by fast
     for r in range(rounds):
         pop = genome.new_population(jax.random.PRNGKey(100 + r), 64, N, H, W)
-        f = jnp.argsort(ev_fast(pop))
-        e = jnp.argsort(ev_exact(pop))
+        ff = ev_fast(pop)
+        fe = ev_exact(pop)
+        f = jnp.argsort(ff)
+        e = jnp.argsort(fe)
         dev = int(jnp.sum(f != e))
         mismatches += int(dev > 0)
         max_rankdev = max(max_rankdev, dev)
+        d_f = ff[:, None] - ff[None, :]
+        d_e = fe[:, None] - fe[None, :]
+        inverted = (d_f > 0) & (d_e < 0)
+        gap = jnp.where(inverted, -d_e, 0.0) / jnp.mean(fe)
+        max_inv_gap = max(max_inv_gap, float(jnp.max(gap)))
 
     print(
         json.dumps(
@@ -93,6 +110,7 @@ def main() -> None:
                 "rank_mismatch_pops": mismatches,
                 "rank_rounds": rounds,
                 "max_rank_positions_off": max_rankdev,
+                "max_inverted_rel_gap": round(max_inv_gap, 8),
             }
         )
     )
