@@ -45,6 +45,11 @@ class Objective(NamedTuple):
     # canvas error, +8% — render_pallas._splat_feats_turbo); "bf16" =
     # tested mode, not faster (fused pallas paths only)
     precision: str = "highest"
+    # fast-mode cull ε (render_pallas._tighten_boxes, DESIGN §8c): larger
+    # trims more (tile, splat) pairs at a proportionally larger canvas
+    # tolerance; selection-safe up to ~5e-2 (measured GA A/B). None ->
+    # the GGS_CULL_EPS env default (2e-3).
+    cull_eps: Optional[float] = None
     # Pallas interpret mode (CPU tests of the fused paths)
     interpret: bool = False
 
@@ -122,6 +127,7 @@ def evaluate(
                 boost_beta=obj.boost_beta,
                 bin_capacity=obj.bin_capacity,
                 precision=obj.precision,
+                cull_eps=obj.cull_eps,
                 interpret=obj.interpret,
             )
         if impl == "pallas" and obj.mesh is not None and obj.pspec_imgs is not None:
@@ -262,6 +268,7 @@ def _evaluate_metric_sharded(
             k_sigma=obj.k_sigma, background=tuple(obj.background),
             bin_capacity=obj.bin_capacity, interpret=obj.interpret,
             precision=obj.precision if obj.precision == "fast" else "highest",
+            cull_eps=obj.cull_eps,
         )
         return sharded_energy_rows(obj, imgs, tgt_rows, w_rows, y0, tile_ax)
 
@@ -342,6 +349,7 @@ def _evaluate_fused_sharded(
             tile_w=tile_w,
             interpret=obj.interpret,
             precision=obj.precision,
+            cull_eps=obj.cull_eps,
         )
         return jax.lax.psum(num, tile_ax) / denom
 

@@ -319,7 +319,10 @@ def _prep_turbo_kernel(g_ref, ff_ref, fi_ref, *, maxx, maxy, k_sigma, cull_eps):
     fi_ref[0, 3:4, :] = y1.astype(jnp.int32)
 
 
-def _prep_turbo_pallas(g9: jnp.ndarray, H: int, W: int, k_sigma: float, interpret: bool):
+def _prep_turbo_pallas(
+    g9: jnp.ndarray, H: int, W: int, k_sigma: float, interpret: bool,
+    cull_eps: Optional[float] = None,
+):
     """[B, N, 9] renderer genomes -> (ff [B,13,N+1], fi [B,4,N] i32)."""
     B, N, _ = g9.shape
     g9T = jnp.transpose(g9, (0, 2, 1))
@@ -327,7 +330,7 @@ def _prep_turbo_pallas(g9: jnp.ndarray, H: int, W: int, k_sigma: float, interpre
         functools.partial(
             _prep_turbo_kernel,
             maxx=float(W - 1), maxy=float(H - 1), k_sigma=float(k_sigma),
-            cull_eps=_CULL_EPS,
+            cull_eps=_CULL_EPS if cull_eps is None else float(cull_eps),
         ),
         grid=(B,),
         in_specs=[
@@ -363,7 +366,9 @@ import os as _os
 _CULL_EPS = float(_os.environ.get("GGS_CULL_EPS", "2e-3"))
 
 
-def _tighten_boxes(p: codec.SplatScreen, k_sigma: float) -> codec.SplatScreen:
+def _tighten_boxes(
+    p: codec.SplatScreen, k_sigma: float, cull_eps: Optional[float] = None
+) -> codec.SplatScreen:
     """Fast-mode SplatScreen -> same splats with binning-tight AABBs.
 
     The tight extents come from the covariance diagonal (cov = L L^T:
@@ -374,14 +379,15 @@ def _tighten_boxes(p: codec.SplatScreen, k_sigma: float) -> codec.SplatScreen:
     empty box (x1 < x0 bins to no tile)."""
     import math
 
+    eps = _CULL_EPS if cull_eps is None else float(cull_eps)
     det = p.sxx * p.syy - p.sxy * p.sxy
     cov_xx = p.syy / det
     cov_yy = p.sxx / det
-    r2 = 2.0 * (jnp.log(jnp.maximum(p.a, 1e-38)) - math.log(_CULL_EPS))
+    r2 = 2.0 * (jnp.log(jnp.maximum(p.a, 1e-38)) - math.log(eps))
     r = jnp.minimum(jnp.sqrt(jnp.maximum(r2, 0.0)), k_sigma)
     hx = jnp.maximum(r * jnp.sqrt(jnp.maximum(cov_xx, 0.0)), 1.0)
     hy = jnp.maximum(r * jnp.sqrt(jnp.maximum(cov_yy, 0.0)), 1.0)
-    live = p.a > _CULL_EPS
+    live = p.a > eps
     x0 = jnp.maximum(p.x0, jnp.floor(p.cx - hx).astype(jnp.int32))
     x1 = jnp.minimum(p.x1, jnp.ceil(p.cx + hx).astype(jnp.int32))
     y0 = jnp.maximum(p.y0, jnp.floor(p.cy - hy).astype(jnp.int32))
@@ -967,7 +973,7 @@ def _fitness_tile_kernel(
     jax.jit,
     static_argnames=(
         "H", "W", "k_sigma", "background", "bin_capacity", "tile_h", "tile_w",
-        "interpret", "unroll", "precision",
+        "interpret", "unroll", "precision", "cull_eps",
     ),
 )
 def render_pallas(
@@ -982,6 +988,7 @@ def render_pallas(
     interpret: bool = False,
     unroll: int = 8,
     precision: str = "highest",  # "highest" (bit-exact) | "fast" (~5e-5)
+    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> GGS_CULL_EPS)
 ) -> jnp.ndarray:
     """Render renderer-format genomes [B, N, 9] (or [N, 9]) -> [B, H, W, 3].
 
@@ -997,7 +1004,7 @@ def render_pallas(
 
     p = codec.preprocess(g9, H, W, k_sigma)
     if precision == "fast":
-        p = _tighten_boxes(p, k_sigma)
+        p = _tighten_boxes(p, k_sigma, cull_eps)
     out, _ = _chunked_passes(
         p, H, W, tile_h, tile_w, tuple(float(c) for c in background),
         unroll, interpret, bin_capacity, keep_last=False, precision=precision,
@@ -1012,7 +1019,7 @@ def render_pallas(
     static_argnames=(
         "H", "W", "k_sigma", "background", "boost_only", "boost_beta",
         "bin_capacity", "tile_h", "tile_w", "interpret", "has_mask", "precision",
-        "unroll",
+        "unroll", "cull_eps",
     ),
 )
 def fitness_pallas(
@@ -1034,6 +1041,7 @@ def fitness_pallas(
     # +8% — see _splat_feats_turbo) | "bf16" (tested mode, not faster)
     precision: str = "highest",
     unroll: int = 8,
+    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> GGS_CULL_EPS)
 ) -> jnp.ndarray:
     """Fused render+fitness: renderer genomes [B, N, 9] -> fitness [B].
 
@@ -1064,7 +1072,7 @@ def fitness_pallas(
         # Single-chunk fast path: preprocess + table build fused into one
         # Pallas op (_prep_turbo_pallas) — skips the ~50-op XLA chain whose
         # per-op dispatch latency costs ~1 ms/call on the attached TPU.
-        prep = _prep_turbo_pallas(g9, H, W, k_sigma, interpret)
+        prep = _prep_turbo_pallas(g9, H, W, k_sigma, interpret, cull_eps)
         num = _fitness_partials(
             None, target, w_eff, H, W, tile_h, tile_w, bgt, jnp.float32,
             unroll, interpret, bin_capacity, None, precision=precision,
@@ -1073,7 +1081,7 @@ def fitness_pallas(
         return num / denom
     p = codec.preprocess(g9, H, W, k_sigma)
     if precision == "fast":
-        p = _tighten_boxes(p, k_sigma)
+        p = _tighten_boxes(p, k_sigma, cull_eps)
     init_p, p_last = _chunked_passes(
         p, H, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
         keep_last=True, precision=precision,
@@ -1188,7 +1196,7 @@ def _fitness_partials(
     jax.jit,
     static_argnames=(
         "H", "W", "k_sigma", "background", "bin_capacity", "tile_h", "tile_w",
-        "interpret", "unroll", "precision",
+        "interpret", "unroll", "precision", "cull_eps",
     ),
 )
 def fitness_pallas_partial(
@@ -1206,6 +1214,7 @@ def fitness_pallas_partial(
     interpret: bool = False,
     unroll: int = 8,
     precision: str = "highest",  # "highest" (f32) | "fast" (~5e-5) | "bf16"
+    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> GGS_CULL_EPS)
 ) -> jnp.ndarray:
     """Row-slab partial of the fused fitness: sum(dif^2 * w) over the slab.
 
@@ -1233,7 +1242,7 @@ def fitness_pallas_partial(
         y1=p.y1 - yo_i,
     )
     if precision == "fast":
-        p = _tighten_boxes(p, k_sigma)  # intersection inherits the shift
+        p = _tighten_boxes(p, k_sigma, cull_eps)  # intersection inherits the shift
     bgt = tuple(float(c) for c in background)
     init_p, p_last = _chunked_passes(
         p, Hs, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
@@ -1261,6 +1270,7 @@ def render_rows_pallas(
     interpret: bool = False,
     unroll: int = 8,
     precision: str = "highest",
+    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> GGS_CULL_EPS)
 ) -> jnp.ndarray:
     """Render `out_rows` canvas rows starting at y_origin -> [B, rows, W, 3].
 
@@ -1282,7 +1292,7 @@ def render_rows_pallas(
         y1=p.y1 - yo_i,
     )
     if precision == "fast":
-        p = _tighten_boxes(p, k_sigma)  # intersection inherits the shift
+        p = _tighten_boxes(p, k_sigma, cull_eps)  # intersection inherits the shift
     th = next((t for t in (64, 32, 16, 8) if out_rows % t == 0), None)
     tile_h = th if th is not None else tile_h
     out, _ = _chunked_passes(

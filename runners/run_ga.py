@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="fast: +8%% fused evaluation at ~5e-5 canvas error (exp2 walk); "
         "highest stays oracle-exact; bf16 is a tested mode, not faster",
     )
+    p.add_argument(
+        "--cull-eps", type=float, default=None,
+        help="fast-mode splat-contribution cull threshold (DESIGN §8c): "
+        "larger trims more (tile, splat) pairs — +23%% eval throughput at "
+        "5e-2 — at a proportionally larger canvas tolerance; selection-"
+        "safe up to ~5e-2 (measured GA A/B). Default: GGS_CULL_EPS or 2e-3",
+    )
     p.add_argument("--metric", default="mse", choices=["mse", "ssim", "mix"])
     p.add_argument("--ssim-weight", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=42)
@@ -145,6 +152,7 @@ def main(argv=None) -> None:
         metric=args.metric,
         ssim_weight=args.ssim_weight,
         precision=args.precision,
+        cull_eps=args.cull_eps,
     )
     ga_cfg = GAConfig(
         pop_size=args.pop_size,
@@ -361,7 +369,29 @@ def main(argv=None) -> None:
     else:
         best, best_fit, _ = run_stage(H, W, ga_cfg, None, True, "")
     label = "MSE" if args.metric == "mse" else f"energy ({args.metric})"
-    print(f"Best {label}:", best_fit)
+    if args.precision != "highest":
+        # The run's fitness carries the evaluation mode's bias (~5e-5 exp2
+        # walk + the cull-ε tail, DESIGN §8c) — rescore the winner on the
+        # exact energy so the reported number is mode-independent.
+        import jax.numpy as _jnp
+
+        from ggs_tpu.ops import mask as _mask_mod, objective as _objective
+
+        _wm = _mask_mod.compute_importance_mask(
+            io_mod.ensure_hw(_jnp.asarray(target), H, W), H, W,
+            smooth=mask_cfg.smooth, strength=mask_cfg.strength,
+        )
+        best_fit = float(
+            _objective.evaluate(
+                obj._replace(precision="highest", cull_eps=None),
+                _jnp.asarray(best)[None],
+                io_mod.ensure_hw(_jnp.asarray(target), H, W),
+                _wm,
+            )[0]
+        )
+        print(f"Best {label} (exact rescore):", best_fit)
+    else:
+        print(f"Best {label}:", best_fit)
     if best_fit > 0 and args.metric == "mse":
         import math
 

@@ -54,6 +54,16 @@ def main(argv=None) -> None:
         "on the same energy (gradient.make_loss_fn honors the metric)",
     )
     p.add_argument("--ssim-weight", type=float, default=0.5)
+    p.add_argument(
+        "--precision", default="highest", choices=["highest", "fast", "bf16"],
+        help="GA-stage evaluation mode (the Adam polish always runs exact); "
+        "fast is selection-equivalent and ~18%% faster (DESIGN §8c)",
+    )
+    p.add_argument(
+        "--cull-eps", type=float, default=None,
+        help="fast-mode cull threshold for the GA stage (DESIGN §8c); "
+        "selection-safe up to ~5e-2 (default: GGS_CULL_EPS or 2e-3)",
+    )
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-video", action="store_true")
     args = p.parse_args(argv)
@@ -73,7 +83,10 @@ def main(argv=None) -> None:
         "--recycle-k", str(recycle_k),
         "--recycle-patience", str(args.recycle_patience),
         "--log-every", "1000",
+        "--precision", args.precision,
     ]
+    if args.cull_eps is not None:
+        ga_args += ["--cull-eps", str(args.cull_eps)]
     if args.grow_mode == "auto":
         ga_args += ["--grow-auto", "--grow-patience", str(args.grow_patience)]
     else:

@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--precision", default="highest", choices=["highest", "fast", "bf16"],
         help="fast: +8%% fused evaluation at ~5e-5 canvas error (exp2 walk)",
     )
+    p.add_argument(
+        "--cull-eps", type=float, default=None,
+        help="fast-mode splat-contribution cull threshold (DESIGN §8c): "
+        "larger is faster at a proportionally larger canvas tolerance; "
+        "selection-safe up to ~5e-2 (default: GGS_CULL_EPS or 2e-3)",
+    )
     p.add_argument("--metric", default="mse", choices=["mse", "ssim", "mix"])
     p.add_argument("--ssim-weight", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=42)
@@ -82,7 +88,7 @@ def main(argv=None) -> None:
 
     obj = Objective(
         H=H, W=W, k_sigma=args.k_sigma, boost_only=args.boost_only,
-        impl=args.impl, precision=args.precision,
+        impl=args.impl, precision=args.precision, cull_eps=args.cull_eps,
         metric=args.metric, ssim_weight=args.ssim_weight,
     )
     sa_cfg = SAConfig(

@@ -249,6 +249,56 @@ def test_fast_mode_cull_reduces_pairs(key):
     assert float(jnp.mean(jnp.abs(got - ref))) < 2e-4
 
 
+def test_cull_eps_parameter(key):
+    """cull_eps as a first-class knob (DESIGN §8c): the parameter must
+    override the GGS_CULL_EPS module default everywhere it is threaded —
+    _tighten_boxes, fitness_pallas, and Objective.evaluate — with larger ε
+    yielding strictly smaller boxes on low-alpha splats, while None
+    reproduces the module default bit-for-bit."""
+    from ggs_tpu.ops import fitness
+    from ggs_tpu.ops import objective as objective_mod
+    from ggs_tpu.ops import render_pallas as rp
+
+    H, W = 64, 128
+    g9 = _genomes(key, 2, 48, H, W, max_scale=0.4)
+    # force low alphas (30/255 ~ 0.12) so the eps term, not the k-sigma
+    # clamp, binds in _tighten_boxes' radius formula
+    g9 = g9.at[:, :, 8].set(30.0)
+    p = codec.preprocess(g9, H, W, 3.0)
+    pt_small = rp._tighten_boxes(p, 3.0, cull_eps=2e-3)
+    pt_big = rp._tighten_boxes(p, 3.0, cull_eps=5e-2)
+    area = lambda q: np.asarray(  # noqa: E731
+        (jnp.maximum(q.x1 - q.x0 + 1, 0)) * (jnp.maximum(q.y1 - q.y0 + 1, 0))
+    )
+    assert area(pt_big).sum() < area(pt_small).sum()
+    # None == module default (env-derived)
+    pt_none = rp._tighten_boxes(p, 3.0)
+    pt_env = rp._tighten_boxes(p, 3.0, cull_eps=rp._CULL_EPS)
+    for f in ("x0", "x1", "y0", "y1"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pt_none, f)), np.asarray(getattr(pt_env, f))
+        )
+
+    tgt = jax.random.uniform(jax.random.fold_in(key, 7), (H, W, 3), jnp.float32)
+    f_def = rp.fitness_pallas(g9, tgt, None, H, W, interpret=True,
+                              precision="fast")
+    f_none = rp.fitness_pallas(g9, tgt, None, H, W, interpret=True,
+                               precision="fast", cull_eps=None)
+    np.testing.assert_array_equal(np.asarray(f_def), np.asarray(f_none))
+    # threading through Objective: a huge eps visibly changes the energy
+    obj_small = objective_mod.Objective(H=H, W=W, impl="pallas",
+                                        precision="fast", interpret=True,
+                                        cull_eps=2e-3)
+    obj_big = obj_small._replace(cull_eps=0.11)  # culls every alpha<=0.11 splat
+    # evaluate() takes axes-angle genomes; build one with low alphas
+    g = genome.new_population(jax.random.fold_in(key, 3), 2, 48, H, W,
+                              min_scale=1.0, max_scale=0.4)
+    g = g.at[:, :, 7].set(30.0)  # alpha channel (0..255 scale)
+    e_small = objective_mod.evaluate(obj_small, g, tgt, None)
+    e_big = objective_mod.evaluate(obj_big, g, tgt, None)
+    assert not np.allclose(np.asarray(e_small), np.asarray(e_big))
+
+
 def test_fast_mode_zero_alpha_and_sentinel(key):
     """alpha = 0 splats must contribute exactly nothing in fast mode
     (log2(alpha) = -inf => exp2 = 0, and the cull drops them from the
