@@ -10,7 +10,7 @@ the evaluation mode's bias.
 
 Usage:
   python benchmarks/cull_ab.py --precision highest
-  GGS_CULL_EPS=2e-2 python benchmarks/cull_ab.py --precision fast
+  python benchmarks/cull_ab.py --precision fast --cull-eps 5e-2
 """
 from __future__ import annotations
 
@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--precision", default="fast", choices=["highest", "fast"])
+    ap.add_argument(
+        "--cull-eps", type=float, default=None,
+        help="fast-mode cull ε (first-class Objective knob since round 3; "
+        "default: the GGS_CULL_EPS env default)",
+    )
     ap.add_argument("--gens", type=int, default=3000)
     ap.add_argument("--seeds", default="42,43,44")
     args = ap.parse_args()
@@ -39,7 +44,10 @@ def main() -> None:
 
     H = W = 512
     target = io_mod.load_image("synthetic")
-    obj_run = objective.Objective(H=H, W=W, impl="pallas", precision=args.precision)
+    obj_run = objective.Objective(
+        H=H, W=W, impl="pallas", precision=args.precision,
+        cull_eps=args.cull_eps,
+    )
     obj_exact = objective.Objective(H=H, W=W, impl="pallas")
     ga_cfg = GAConfig(pop_size=32, generations=args.gens)
     gnm = GenomeConfig(n_splats=512)
@@ -65,7 +73,10 @@ def main() -> None:
     vals = list(finals.values())
     print(json.dumps({
         "precision": args.precision,
-        "cull_eps": rp._CULL_EPS if args.precision == "fast" else None,
+        "cull_eps": (
+            (rp._CULL_EPS if args.cull_eps is None else args.cull_eps)
+            if args.precision == "fast" else None
+        ),
         "gens": args.gens,
         "exact_final_mse": {str(k): round(v, 6) for k, v in finals.items()},
         "mean": round(sum(vals) / len(vals), 6),
