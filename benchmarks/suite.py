@@ -4,7 +4,8 @@ Usage:
     python benchmarks/suite.py [--quick] [--out results.json]
 
 Configs (BASELINE.json "configs" + render microbenchmarks):
-    render-512           raw fused evaluation, 512 splats @ 512^2 (f32 + bf16)
+    render-512           raw fused evaluation, 512 splats @ 512^2
+                         (f32 exact, fast, fast @ the validated cull-eps, bf16)
     sa-64-gray           SA iterations/s: 64 splats -> 64^2 target
     ga-256               GA generations/s: pop 64, 256 splats -> 256^2
     grad-2k              Adam steps/s: 2000 splats @ 512^2 (pallas VJP)
@@ -56,13 +57,25 @@ def bench_render(quick: bool):
     tgt = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3), dtype=jnp.float32)
     wm = jnp.ones((H, W), jnp.float32)
     rows = []
-    for prec in ["highest", "fast", "bf16"]:
-        f = jax.jit(lambda g, p=prec: fitness_pallas(g, tgt, wm, H, W, precision=p))
+    # (precision, cull_eps, config label): the eps8e-2 row is the largest
+    # GA-A/B-validated selection-safe cull (DESIGN §8c ladder).
+    variants = [
+        ("highest", None, "render-512-highest"),
+        ("fast", None, "render-512-fast"),
+        ("fast", 8e-2, "render-512-fast-eps8e-2"),
+        ("bf16", None, "render-512-bf16"),
+    ]
+    for prec, eps, label in variants:
+        f = jax.jit(
+            lambda g, p=prec, e=eps: fitness_pallas(
+                g, tgt, wm, H, W, precision=p, cull_eps=e
+            )
+        )
         # >= 50 iters: one ~25 ms readback amortizes (DESIGN.md 8b)
         dt = _time(lambda: f(g9), 10 if quick else 50)
         rows.append(
             {
-                "config": f"render-512-{prec}",
+                "config": label,
                 "metric": "candidate renders/s/chip",
                 "value": round(B / dt, 1),
                 "detail": f"B={B} N={N} {H}x{W} fused fitness",

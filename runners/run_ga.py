@@ -39,9 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--cull-eps", type=float, default=None,
         help="fast-mode splat-contribution cull threshold (DESIGN §8c): "
-        "larger trims more (tile, splat) pairs — +23%% eval throughput at "
-        "5e-2 — at a proportionally larger canvas tolerance; selection-"
-        "safe up to ~5e-2 (measured GA A/B). Default: GGS_CULL_EPS or 2e-3",
+        "larger trims more (tile, splat) pairs — +32%% eval throughput at "
+        "the recommended 8e-2 — at a proportionally larger canvas "
+        "tolerance; 8e-2 is the largest value the 30k-gen GA A/B validated "
+        "as selection-safe (1.2e-1 measurably degrades quality). "
+        "Default: GGS_CULL_EPS or 2e-3",
     )
     p.add_argument("--metric", default="mse", choices=["mse", "ssim", "mix"])
     p.add_argument("--ssim-weight", type=float, default=0.5)

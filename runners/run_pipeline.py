@@ -62,7 +62,8 @@ def main(argv=None) -> None:
     p.add_argument(
         "--cull-eps", type=float, default=None,
         help="fast-mode cull threshold for the GA stage (DESIGN §8c); "
-        "selection-safe up to ~5e-2 (default: GGS_CULL_EPS or 2e-3)",
+        "selection-safe up to 8e-2, the recommended evolution setting "
+        "(default: GGS_CULL_EPS or 2e-3)",
     )
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-video", action="store_true")
