@@ -131,23 +131,30 @@ def bench_ga(quick: bool):
     g0 = genome.new_population(jax.random.PRNGKey(7), 1, 256, H, W)[0]
     tgt = render.render_splats(codec.genome_to_renderer(g0)[None], H, W)[0]
     cfg = GAConfig(pop_size=64, generations=100_000, elite_k=8)
-    st = ga.init(jax.random.PRNGKey(0), obj, tgt, None, cfg, gnm)
-    run = ga.make_run_block(obj, cfg, gnm)
     iters = 20 if quick else 100
-    st, m = run(st, tgt, None, iters)  # compile at the same static length
-    _sync(m)  # the axon tunnel dispatches async: un-synced warmup bleeds into the timing
-    t0 = time.perf_counter()
-    st, m = run(st, tgt, None, iters)
-    _sync(m)
-    dt = (time.perf_counter() - t0) / iters
-    return [
-        {
-            "config": "ga-256",
-            "metric": "GA generations/s",
-            "value": round(1.0 / dt, 1),
-            "detail": "pop 64 x 256 splats -> 256x256 (64 renders/gen)",
-        }
-    ]
+    rows = []
+    # exact-selection GA + the recommended fast evolution mode (DESIGN §8c)
+    for label, o in (
+        ("ga-256", obj),
+        ("ga-256-fast-eps8e-2", obj._replace(precision="fast", cull_eps=8e-2)),
+    ):
+        st = ga.init(jax.random.PRNGKey(0), o, tgt, None, cfg, gnm)
+        run = ga.make_run_block(o, cfg, gnm)
+        st, m = run(st, tgt, None, iters)  # compile at the same static length
+        _sync(m)  # axon dispatches async: un-synced warmup bleeds into timing
+        t0 = time.perf_counter()
+        st, m = run(st, tgt, None, iters)
+        _sync(m)
+        dt = (time.perf_counter() - t0) / iters
+        rows.append(
+            {
+                "config": label,
+                "metric": "GA generations/s",
+                "value": round(1.0 / dt, 1),
+                "detail": "pop 64 x 256 splats -> 256x256 (64 renders/gen)",
+            }
+        )
+    return rows
 
 
 def bench_grad(quick: bool):
