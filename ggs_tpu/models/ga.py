@@ -292,6 +292,9 @@ def genetic_approx(
     weight_mask=None,
     anneal_sigma0: float = 0.0,
     anneal_frac: float = 0.6,
+    memetic_every: int = 0,
+    memetic_steps: int = 5,
+    memetic_lr: float = 1e-2,
 ):
     """Host driver: full GA run with curves/frames/checkpoints.
 
@@ -309,6 +312,12 @@ def genetic_approx(
     recycle_every generations each candidate's recycle_k lowest-impact
     splats are replaced by error-guided ones and the population is
     re-evaluated.
+    memetic_every > 0 switches to the hybrid GA+SGD block
+    (make_memetic_run_block): every memetic_every generations the elites
+    get memetic_steps Lamarckian Adam steps through the differentiable
+    renderer, accepted only when improved ON THE GA'S OWN ENERGY
+    (refine_elites rescores with objective.evaluate, so fast/mix modes
+    stay commensurate). Single-deme only; exclusive with annealing.
     anneal_sigma0 > 0 turns on scale-space annealing (ops/anneal, DESIGN
     §9c): evaluation runs against a sigma-blurred target with sigma-blurred
     candidates, sigma decaying geometrically from anneal_sigma0 to 0 over
@@ -382,8 +391,21 @@ def genetic_approx(
     if n_islands > 1:
         from ..parallel import island as island_mod
 
+        assert memetic_every == 0, "memetic refinement is single-deme only"
         run = island_mod.make_run_block(
             obj, ga, gnm, n_islands, migrate_every, migrate_k, mesh, sig_max, sig_min
+        )
+    elif memetic_every > 0:
+        assert anneal_sigma0 == 0.0, (
+            "memetic refinement and scale-space annealing are mutually "
+            "exclusive (the memetic block has no sigma input)"
+        )
+        from ..config import GradConfig
+
+        run = make_memetic_run_block(
+            obj, ga, gnm, GradConfig(lr=memetic_lr),
+            refine_every=memetic_every, refine_steps=memetic_steps,
+            sig_max=sig_max, sig_min=sig_min,
         )
     else:
         run = make_run_block(obj, ga, gnm, sig_max, sig_min)

@@ -382,8 +382,17 @@ def refine_elites(
 
     state, _ = jax.lax.scan(body, state, None, length=steps)
 
-    loss_fn = make_loss_fn(obj, gnm)
-    _, new_fits = loss_fn(state.g, target, weight_mask)
+    # Score the refined elites with the GA's OWN evaluator — not the
+    # (always-exact) differentiable loss. elite_fits come from
+    # objective.evaluate under the GA's precision/cull_eps/metric; scoring
+    # new_fits any other way re-opens the incommensurate-energy accept
+    # test (the round-2 metric-mismatch bug class, reachable again via
+    # precision="fast"): the ~0.5%-scale fast-vs-exact bias would leak
+    # into `better`, and the returned fits would mix energy scales inside
+    # GA selection.
+    from ..ops import objective as objective_mod
+
+    new_fits = objective_mod.evaluate(obj, state.g, target, weight_mask)
     better = new_fits < elite_fits
     out_g = jnp.where(better[:, None, None], state.g, elites)
     out_f = jnp.where(better, new_fits, elite_fits)

@@ -79,6 +79,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--anneal-frac", type=float, default=0.6)
     p.add_argument(
+        "--memetic-every", type=int, default=0,
+        help="hybrid GA+SGD (BASELINE memetic config): every N generations "
+        "give the elites --memetic-steps Lamarckian Adam steps through the "
+        "differentiable renderer, accepted only when improved on the GA's "
+        "own energy (0 = off; single-deme only, exclusive with annealing)",
+    )
+    p.add_argument("--memetic-steps", type=int, default=5)
+    p.add_argument("--memetic-lr", type=float, default=1e-2)
+    p.add_argument(
         "--grow-stages", type=int, default=1,
         help=">1: error-guided splat growth — stage i fits n-splats/2^(S-1-i) "
         "splats, then appends new splats at each candidate's own highest-"
@@ -212,6 +221,9 @@ def main(argv=None) -> None:
             weight_mask=weight_mask,
             anneal_sigma0=args.anneal_sigma0 if last else 0.0,
             anneal_frac=args.anneal_frac,
+            memetic_every=args.memetic_every,
+            memetic_steps=args.memetic_steps,
+            memetic_lr=args.memetic_lr,
         )
 
     if args.progressive:

@@ -164,6 +164,35 @@ def test_refine_elites_mix_metric_commensurate(key):
     assert float(np.asarray(f2).min()) < float(np.asarray(fits).min())
 
 
+def test_refine_elites_fast_precision_commensurate(key):
+    """Same bug class as the metric mismatch, reachable via
+    precision="fast"/cull_eps (the recommended evolution mode, DESIGN
+    §8c): refinement FITS on the exact differentiable loss, but the
+    accept test and the returned fits must be scored with the GA's own
+    evaluator — otherwise the ~0.5%-scale fast-vs-exact bias leaks into
+    `better` and mixed energy scales re-enter GA selection."""
+    from ggs_tpu.ops import render_pallas  # noqa: F401 (pallas available)
+
+    obj_fast = objective.Objective(
+        H=H, W=W, impl="pallas", precision="fast", cull_eps=8e-2,
+        interpret=True,
+    )
+    target = _target(jax.random.PRNGKey(3011))
+    elites = genome.new_population(key, 3, 8, H, W, GNM.min_scale, GNM.max_scale)
+    fits = objective.evaluate(obj_fast, elites, target, None)
+    el2, f2 = gradient.refine_elites(
+        elites, fits, target, None, obj_fast, GNM, GradConfig(lr=1e-2), steps=10
+    )
+    # never worse ON THE GA'S OWN (fast) ENERGY SCALE
+    assert np.all(np.asarray(f2) <= np.asarray(fits) + 1e-7)
+    # the returned fits ARE the GA evaluator's numbers for the genomes
+    f_check = objective.evaluate(obj_fast, el2, target, None)
+    np.testing.assert_allclose(
+        np.asarray(f2), np.asarray(f_check), rtol=1e-5, atol=1e-6
+    )
+    assert float(np.asarray(f2).min()) < float(np.asarray(fits).min())
+
+
 def test_memetic_run_block_mix_metric(key):
     """GA + memetic refinement on the mix metric: one consistent energy
     end-to-end; best-fitness curve stays monotone."""

@@ -68,6 +68,22 @@ def test_run_ga_grow_auto_cli(tmp_path, target_png):
     assert (tmp_path / "ga_splats.png").exists()
 
 
+def test_run_ga_memetic_cli(tmp_path, target_png):
+    """Hybrid GA+SGD via the CLI (--memetic-every), combined with the
+    recommended fast evaluation mode so the commensurate-accept path
+    (gradient.refine_elites scoring with the GA's own objective) runs
+    end-to-end."""
+    _run("run_ga.py", [
+        "--image", target_png, "--output-dir", str(tmp_path),
+        "--work-max-side", "24", "--n-splats", "8", "--pop-size", "4",
+        "--elite-k", "1", "--generations", "30", "--log-every", "10",
+        "--no-video", "--impl", "xla", "--memetic-every", "10",
+        "--memetic-steps", "3",
+    ])
+    assert (tmp_path / "ga_splats.png").exists()
+    assert (tmp_path / "ga_loss.csv").exists()
+
+
 def test_run_ga_progressive_fixed_mask_cli(tmp_path, target_png):
     _run("run_ga.py", [
         "--image", target_png, "--output-dir", str(tmp_path),
