@@ -65,6 +65,12 @@ def main(argv=None) -> None:
         "selection-safe up to 8e-2, the recommended evolution setting "
         "(default: GGS_CULL_EPS or 2e-3)",
     )
+    p.add_argument(
+        "--memetic-every", type=int, default=0,
+        help="also interleave Lamarckian SGD during the GA stage "
+        "(run_ga --memetic-every); the Adam polish still runs afterwards",
+    )
+    p.add_argument("--memetic-steps", type=int, default=5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-video", action="store_true")
     args = p.parse_args(argv)
@@ -88,6 +94,11 @@ def main(argv=None) -> None:
     ]
     if args.cull_eps is not None:
         ga_args += ["--cull-eps", str(args.cull_eps)]
+    if args.memetic_every > 0:
+        ga_args += [
+            "--memetic-every", str(args.memetic_every),
+            "--memetic-steps", str(args.memetic_steps),
+        ]
     if args.grow_mode == "auto":
         ga_args += ["--grow-auto", "--grow-patience", str(args.grow_patience)]
     else:

@@ -119,7 +119,8 @@ def test_run_pipeline_cli(tmp_path, target_png):
          "--image", target_png, "--output-dir", str(tmp_path),
          "--work-max-side", "24", "--n-splats", "8", "--pop-size", "4",
          "--ga-generations", "40", "--adam-steps", "5", "--no-video",
-         "--grow-patience", "5"],
+         "--grow-patience", "5", "--memetic-every", "20",
+         "--memetic-steps", "2"],
         env=_env(), capture_output=True, text=True, timeout=900, cwd=_REPO,
     )
     assert r.returncode == 0, r.stderr[-3000:]
