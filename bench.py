@@ -148,9 +148,11 @@ def main() -> None:
 
     # Backward direction: Adam steps/s through the custom-VJP Pallas
     # renderer (the flagship capability the reference lacks — it is
-    # @torch.no_grad everywhere). Tracked here so a backward regression is
+    # @torch.no_grad everywhere). Exact AND fast-mode (ε-culled gradient
+    # path, DESIGN §8d) are tracked so a backward regression in either is
     # visible between rounds, not only in benchmarks/suite.py.
     grad_steps_per_s = None
+    grad_fast_steps_per_s = None
     if os.environ.get("GGS_BENCH_GRAD", "1") != "0" and impl == "pallas":
         try:
             from ggs_tpu.config import GenomeConfig, GradConfig
@@ -159,28 +161,45 @@ def main() -> None:
 
             Ng = _env_int("GGS_BENCH_GRAD_N", 2000)
             gnm = GenomeConfig(n_splats=Ng)
-            gobj = objective.Objective(H=H, W=W, impl=impl)
             cfg = GradConfig(lr=1e-2)
-            g0 = genome_mod.new_population(jax.random.PRNGKey(2), 1, Ng, H, W)
-            opt, _ = gradient.make_fit_step(gobj, gnm, cfg)
-            state = gradient.init_state(opt, g0)
-            run = gradient.make_run_block(gobj, gnm, cfg)
             # 100+ iters: at ~3 ms/step, 20 iters was dominated by host
             # dispatch of the run block (measured 198 "steps/s" vs the
             # true 356 at 100 iters on the same build).
             giters = _env_int("GGS_BENCH_GRAD_ITERS", 100)
-            state, m = run(state, target, None, giters)
-            float(jnp.asarray(m).sum())  # sync compile+warmup (axon async)
-            t0 = time.perf_counter()
-            state, m = run(state, target, None, giters)
-            float(jnp.asarray(m).sum())
-            gdt = time.perf_counter() - t0
+
+            def timed_grad(gobj):
+                g0 = genome_mod.new_population(jax.random.PRNGKey(2), 1, Ng, H, W)
+                opt, _ = gradient.make_fit_step(gobj, gnm, cfg)
+                state = gradient.init_state(opt, g0)
+                run = gradient.make_run_block(gobj, gnm, cfg)
+                state, m = run(state, target, None, giters)
+                float(jnp.asarray(m).sum())  # sync compile+warmup (axon async)
+                g0 = genome_mod.new_population(jax.random.PRNGKey(2), 1, Ng, H, W)
+                state = gradient.init_state(opt, g0)
+                t0 = time.perf_counter()
+                state, m = run(state, target, None, giters)
+                float(jnp.asarray(m).sum())
+                return time.perf_counter() - t0
+
+            gdt = timed_grad(objective.Objective(H=H, W=W, impl=impl))
             grad_steps_per_s = giters / gdt
             print(
                 f"[bench] grad: N={Ng} B=1 {H}x{W} iters={giters} "
                 f"time={gdt:.3f}s -> {grad_steps_per_s:.1f} steps/s",
                 file=sys.stderr,
             )
+            if precision == "fast":
+                gfdt = timed_grad(
+                    objective.Objective(
+                        H=H, W=W, impl=impl, precision="fast", cull_eps=cull_eps
+                    )
+                )
+                grad_fast_steps_per_s = giters / gfdt
+                print(
+                    f"[bench] grad fast eps={cull_eps:g}: "
+                    f"{grad_fast_steps_per_s:.1f} steps/s",
+                    file=sys.stderr,
+                )
         except Exception as e:  # never fail the driver metric on this
             print(f"[bench] grad bench skipped ({e})", file=sys.stderr)
 
@@ -209,6 +228,10 @@ def main() -> None:
         )
     if grad_steps_per_s is not None:
         record[f"grad_adam_steps_per_s_{H}x{W}_{Ng}splats"] = round(grad_steps_per_s, 2)
+    if grad_fast_steps_per_s is not None:
+        record[f"grad_adam_steps_per_s_fast{eps_tag}_{H}x{W}_{Ng}splats"] = round(
+            grad_fast_steps_per_s, 2
+        )
     print(json.dumps(record))
 
 

@@ -181,7 +181,7 @@ def bench_grad(quick: bool):
     state, m = run(state, tgt, None, iters)
     _sync(m)
     dt = (time.perf_counter() - t0) / iters
-    return [
+    rows = [
         {
             "config": "grad-2k",
             "metric": "Adam steps/s (fwd+bwd)",
@@ -189,6 +189,28 @@ def bench_grad(quick: bool):
             "detail": f"{N} splats @ 512x512, Pallas custom-VJP",
         }
     ]
+    # Fast-mode gradient path (ε-culled boxes through the fused loss+grad
+    # kernel, DESIGN §8d) at the recommended evolution ε.
+    obj_f = objective.Objective(H=H, W=W, precision="fast", cull_eps=8e-2)
+    opt, _ = gradient.make_fit_step(obj_f, gnm, cfg)
+    state = gradient.init_state(opt, genome.new_population(jax.random.PRNGKey(0), 1, N, H, W))
+    run = gradient.make_run_block(obj_f, gnm, cfg)
+    state, m = run(state, tgt, None, iters)
+    _sync(m)
+    state = gradient.init_state(opt, genome.new_population(jax.random.PRNGKey(0), 1, N, H, W))
+    t0 = time.perf_counter()
+    state, m = run(state, tgt, None, iters)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / iters
+    rows.append(
+        {
+            "config": "grad-2k-fast",
+            "metric": "Adam steps/s (fwd+bwd)",
+            "value": round(1.0 / dt, 2),
+            "detail": f"{N} splats @ 512x512, ε-culled fused loss+grad (ε=8e-2)",
+        }
+    )
+    return rows
 
 
 def bench_grad_big(quick: bool):

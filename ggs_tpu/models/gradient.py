@@ -29,6 +29,24 @@ from ..ops.objective import Objective
 from . import genome as genome_mod
 
 
+def _grad_cull_eps(obj: Objective) -> Optional[float]:
+    """Resolve the ε-cull for the differentiable Pallas paths.
+
+    Mirrors the forward evaluator's semantics (objective.evaluate →
+    render_pallas.fitness_pallas): culling applies only under
+    obj.precision == "fast", at obj.cull_eps (or the GGS_CULL_EPS default
+    when unset). Exact precisions return None — reference-pinned boxes,
+    bit-matching the oracle autodiff. The XLA/oracle loss path ignores
+    this entirely (always exact)."""
+    if obj.precision != "fast":
+        return None
+    if obj.cull_eps is not None:
+        return float(obj.cull_eps)
+    from ..ops.render_pallas import _CULL_EPS
+
+    return _CULL_EPS
+
+
 def make_loss_fn(obj: Objective, gnm: GenomeConfig):
     """Differentiable loss: axes-angle genomes [B, N, 9] -> mean fitness.
 
@@ -42,6 +60,12 @@ def make_loss_fn(obj: Objective, gnm: GenomeConfig):
     the evolutionary loops, so Adam polish and memetic refinement always
     optimize the energy the GA selected on (no reference analogue:
     modules/fitness.py:18-31 is MSE-only and @torch.no_grad).
+
+    Honors obj.precision == "fast" on the pallas path: the render is
+    ε-culled (_grad_cull_eps; the GA's own evaluation mode) and the
+    gradients are the exact gradients of that culled objective — memetic
+    refinement under a fast GA thus descends the SAME energy surface the
+    GA selects on, and walks ~the same reduced pair lists (DESIGN §8d).
     """
     impl = obj.impl
     if impl == "auto":
@@ -62,7 +86,7 @@ def make_loss_fn(obj: Objective, gnm: GenomeConfig):
             imgs = render_pallas_diff(
                 g9, obj.H, obj.W, k_sigma=obj.k_sigma,
                 background=tuple(obj.background), bin_capacity=obj.bin_capacity,
-                interpret=obj.interpret,
+                interpret=obj.interpret, cull_eps=_grad_cull_eps(obj),
             )
         else:
             imgs = oracle.render_xla(
@@ -129,6 +153,7 @@ def _make_sharded_loss_fn(obj: Objective):
                 interpret=obj.interpret,
                 y_origin=y0,
                 out_rows=Hs,
+                cull_eps=_grad_cull_eps(obj),
             )
             return objective_mod.sharded_energy_rows(
                 obj, imgs, tgt_rows, w_rows, y0, tile_ax
@@ -209,6 +234,7 @@ def make_value_and_grad(obj: Objective, gnm: GenomeConfig):
             boost_only=obj.boost_only, boost_beta=obj.boost_beta,
             k_sigma=obj.k_sigma, background=tuple(obj.background),
             bin_capacity=obj.bin_capacity, interpret=obj.interpret,
+            cull_eps=_grad_cull_eps(obj),
         )
 
     return fused_vg
@@ -354,7 +380,10 @@ def fit_adam(
             pbar.close()
 
     g = np.asarray(jax.device_get(state.g))
-    loss_fn = make_loss_fn(obj, gnm)
+    # Final report: always the EXACT objective. precision="fast" runs
+    # optimize the ε-culled surface; the returned loss must be the true
+    # energy (mirrors run_ga's exact rescore of fast-mode results).
+    loss_fn = make_loss_fn(obj._replace(precision="highest", cull_eps=None), gnm)
     _, final_fits = loss_fn(state.g, target, weight_mask)
     final_fits = np.asarray(jax.device_get(final_fits))
     b = int(final_fits.argmin())

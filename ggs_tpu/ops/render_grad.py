@@ -46,6 +46,7 @@ from .render_pallas import (
     _render_tile_kernel,
     _splat_feats,
     _splat_feats_fast,
+    _tighten_boxes,
 )
 
 _FWD_UNROLL = 8  # forward kernel walk unroll (see render_pallas._composite_tile)
@@ -597,6 +598,7 @@ def fused_value_and_grad(
     tile_h: Optional[int] = None,
     tile_w: int = 128,
     interpret: bool = False,
+    cull_eps: Optional[float] = None,
 ):
     """Fused ((loss, fits), grads) for loss = mean(fitness(render(g), target)).
 
@@ -614,6 +616,19 @@ def fused_value_and_grad(
     weight_mask: [H, W] or None (scoring modes per modules/fitness.py:8-31).
     Requires N <= render_pallas._MAX_SMEM_SPLATS (no chunk chaining) —
     callers gate and fall back to the unfused path.
+
+    cull_eps (opt-in; None = exact reference-pinned boxes): tighten the
+    AABBs with the fast-mode ε-contribution cull (_tighten_boxes, DESIGN
+    §8c) BEFORE binning — the same pair reduction that bought the forward
+    evaluator its fast-mode headline, applied to all three walks (replay,
+    e-plane replay, backward) of this kernel. The returned grads are the
+    EXACT analytic gradients OF the ε-culled render (self-consistent: the
+    loss value and its gradient describe the same culled objective), NOT
+    approximations of the exact-render gradients; in particular a splat
+    with alpha <= ε is culled to an empty box and receives ZERO gradient,
+    so fast-mode Adam cannot revive sub-ε splats (the GA's mutations can;
+    pure-gradient fits should keep the exact default or validate per
+    DESIGN §8d).
     """
     from . import fitness
     from .render_pallas import _MAX_SMEM_SPLATS
@@ -642,6 +657,8 @@ def fused_value_and_grad(
         g9 = codec.genome_to_renderer(g_ax)
         g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
         p = codec.preprocess(g9, H, W, k_sigma)
+        if cull_eps is not None:
+            p = _tighten_boxes(p, k_sigma, cull_eps)
         return (
             p.cx, p.cy, p.sxx, p.sxy, p.syy, p.rc, p.gc, p.bc, p.a,
             p.x0.astype(jnp.float32), p.x1.astype(jnp.float32),
@@ -672,6 +689,7 @@ def render_pallas_diff(
     interpret: bool = False,
     y_origin: Optional[jnp.ndarray] = None,
     out_rows: Optional[int] = None,
+    cull_eps: Optional[float] = None,
 ) -> jnp.ndarray:
     """Differentiable Pallas render: [B, N, 9] (or [N, 9]) -> [B, H, W, 3].
 
@@ -692,6 +710,12 @@ def render_pallas_diff(
     row slabs plus a psum of the loss reproduces the full-canvas gradient
     with splat-grad all-reduce over the tile mesh axis (SURVEY.md §2.4).
     The shift is differentiable: d(cy - y0)/d(cy) = 1.
+
+    cull_eps: opt-in fast-mode ε-cull of the AABBs before binning (same
+    semantics and caveats as fused_value_and_grad — the result is the
+    exact-gradient ε-culled render, and sub-ε-alpha splats get zero grad).
+    Applied AFTER the y_origin shift, so the tight box intersects the
+    shifted one (mirrors render_pallas.fitness_pallas_partial).
     """
     squeeze = g9.ndim == 2
     if squeeze:
@@ -724,6 +748,8 @@ def render_pallas_diff(
             y0=p.y0 - yo_i,
             y1=p.y1 - yo_i,
         )
+    if cull_eps is not None:
+        p = _tighten_boxes(p, k_sigma, cull_eps)
     bgt = tuple(float(c) for c in background)
 
     def arrs_of(pc):

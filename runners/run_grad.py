@@ -39,6 +39,19 @@ def build_parser() -> argparse.ArgumentParser:
         "steps (ops/anneal.py, docs/DESIGN.md 9c)",
     )
     p.add_argument("--anneal-frac", type=float, default=0.6)
+    p.add_argument(
+        "--precision", default="highest", choices=["highest", "fast"],
+        help="fast = Adam on the ε-culled render (exact grads of that "
+        "culled objective; sub-ε-alpha splats get zero grad — DESIGN §8d). "
+        "Final loss/PSNR are always rescored exactly.",
+    )
+    p.add_argument(
+        "--cull-eps", type=float, default=None,
+        help="fast-mode cull ε (default: GGS_CULL_EPS / 2e-3). Measured "
+        "(DESIGN §8d): ε ≤ 1e-2 is quality-neutral for Adam fits; the GA's "
+        "selection ε (8e-2) costs +48%% final MSE here — the polish ε and "
+        "the selection ε are different knobs",
+    )
     p.add_argument("--pop-shards", type=int, default=1, help="mesh: genome-batch shards")
     p.add_argument("--tile-shards", type=int, default=1, help="mesh: canvas-row shards (grads psum over this axis)")
     return p
@@ -66,6 +79,7 @@ def main(argv=None) -> None:
     obj = Objective(
         H=H, W=W, k_sigma=args.k_sigma, impl=args.impl,
         metric=args.metric, ssim_weight=args.ssim_weight,
+        precision=args.precision, cull_eps=args.cull_eps,
     )
     if args.pop_shards * args.tile_shards > 1:
         import jax

@@ -87,6 +87,35 @@ def test_memetic_run_block(key):
     assert float(st.best_fit) <= b0
 
 
+def test_fast_precision_adam_reduces_exact_loss(key):
+    """Adam on the ε-culled objective (precision="fast" — exact gradients
+    of the culled render, DESIGN §8d) must still descend the EXACT energy
+    on an in-model target, and fit_adam must report the exact final loss
+    even when training ran fast."""
+    obj_fast = objective.Objective(
+        H=H, W=W, impl="pallas", interpret=True, precision="fast", cull_eps=8e-2
+    )
+    target = _target(jax.random.PRNGKey(3010))
+    cfg = GradConfig(steps=60, lr=2e-2)
+    opt, _ = gradient.make_fit_step(obj_fast, GNM, cfg)
+    g0 = genome.new_population(key, 2, 8, H, W, GNM.min_scale, GNM.max_scale)
+    state = gradient.init_state(opt, g0)
+    run = gradient.make_run_block(obj_fast, GNM, cfg)
+    exact_loss = gradient.make_loss_fn(OBJ, GNM)
+    l0, _ = exact_loss(g0, target, None)
+    state, _ = run(state, target, None, 60)
+    l1, _ = exact_loss(state.g, target, None)
+    assert float(l1) < float(l0) * 0.8  # descent measured on the EXACT energy
+
+    best, best_loss, _ = gradient.fit_adam(
+        target, H, W, obj=obj_fast, gnm=GNM, cfg=GradConfig(steps=30, lr=2e-2),
+        seed=0, log_every=15, progress=False,
+    )
+    # the reported loss is the exact energy of the returned genome
+    want, _ = exact_loss(jnp.asarray(best)[None], target, None)
+    np.testing.assert_allclose(best_loss, float(want), rtol=1e-5, atol=1e-7)
+
+
 OBJ_MIX = objective.Objective(H=H, W=W, impl="xla", metric="mix", ssim_weight=0.5)
 
 

@@ -161,6 +161,51 @@ def test_fused_value_and_grad_matches_unfused(key):
         )
 
 
+def test_culled_fused_matches_unfused_culled(key):
+    """precision="fast" through the differentiable paths (DESIGN §8d): the
+    fused single-kernel loss+grad under the ε-cull must equal
+    jax.value_and_grad of the unfused culled loss (both walk the same
+    tightened pair lists), culling must actually engage (energies differ
+    from exact), and splats culled dead (alpha <= ε) must receive exactly
+    zero genome gradient."""
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops.objective import Objective
+
+    N, B, eps = 24, 2, 8e-2
+    g = genome.new_population(key, B, N, H, W, min_scale=1.0, max_scale=0.3)
+    # Force two splats per image below the cull threshold (alpha is on the
+    # 0-255 genome scale; screen-space a = alpha/255, so a <= eps needs
+    # alpha <= 20.4).
+    g = g.at[:, :2, 8].set(5.0)
+    tgt = jax.random.uniform(jax.random.PRNGKey(4005), (H, W, 3))
+    wmask = jax.random.uniform(jax.random.PRNGKey(4006), (H, W))
+
+    gnm = GenomeConfig(n_splats=N)
+    obj_fast = Objective(
+        H=H, W=W, impl="pallas", interpret=True, precision="fast", cull_eps=eps
+    )
+    obj_exact = Objective(H=H, W=W, impl="pallas", interpret=True)
+
+    loss_fast = gradient.make_loss_fn(obj_fast, gnm)
+    (l0, f0), g0 = jax.value_and_grad(loss_fast, has_aux=True)(g, tgt, wmask)
+    (l1, f1), g1 = gradient.make_value_and_grad(obj_fast, gnm)(g, tgt, wmask)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), rtol=1e-5, atol=1e-7)
+    scale = float(jnp.max(jnp.abs(g0))) + 1e-12
+    np.testing.assert_allclose(np.asarray(g1) / scale, np.asarray(g0) / scale, atol=2e-6)
+
+    # the cull engaged: the culled energy is not the exact energy
+    loss_exact = gradient.make_loss_fn(obj_exact, gnm)
+    le, _ = loss_exact(g, tgt, wmask)
+    assert float(l1) != float(le)
+    # dead splats (a <= ε -> empty box -> never binned/walked): zero grads
+    dead = np.asarray(g1)[:, :2, :]
+    np.testing.assert_array_equal(dead, np.zeros_like(dead))
+    # live splats still carry gradient
+    assert float(np.abs(np.asarray(g1)[:, 2:, :]).max()) > 0.0
+
+
 def test_fused_value_and_grad_chunked_fallback(key, monkeypatch):
     """N above the SMEM chunk limit must fall back to the unfused path and
     still produce identical values/grads."""

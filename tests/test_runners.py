@@ -108,6 +108,10 @@ def test_run_grad_cli(tmp_path, target_png):
         "--image", target_png, "--output-dir", str(tmp_path),
         "--work-max-side", "24", "--n-splats", "8", "--steps", "10",
         "--log-every", "5", "--impl", "xla",
+        # flag plumbing only on the xla path (the oracle loss is always
+        # exact); the culled-gradient behavior itself is unit-tested in
+        # test_render_grad.py / test_gradient.py
+        "--precision", "fast", "--cull-eps", "8e-2",
     ])
     assert (tmp_path / "grad_splats.png").exists()
     assert (tmp_path / "grad_genome.npy").exists()
