@@ -265,3 +265,29 @@ def test_compiled_fused_loss_grad_batched(key):
     (l0, f0), g0 = _on_tpu(jax.value_and_grad(loss_fn, has_aux=True), g, tgt, None)
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)
+
+
+def test_compiled_culled_loss_grad_batched(key):
+    """The ε-culled gradient path (DESIGN §8d) COMPILED at B>1: fused ==
+    unfused on the same culled objective, and a dead (alpha <= ε) splat's
+    genome gradient is exactly zero on hardware too."""
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops.objective import Objective
+
+    H = W = 64
+    N, B = 24, 8
+    g = genome.new_population(key, B, N, H, W, 1.0, 0.4)
+    g = g.at[:, 0, 8].set(5.0)  # alpha/255 ~ 0.02 <= ε: culled dead
+    tgt = _on_tpu(
+        lambda k: jax.random.uniform(k, (H, W, 3), jnp.float32), jax.random.PRNGKey(1)
+    )
+    obj = Objective(H=H, W=W, impl="pallas", precision="fast", cull_eps=8e-2)
+    gnm = GenomeConfig(n_splats=N)
+    (l1, f1), g1 = _on_tpu(gradient.make_value_and_grad(obj, gnm), g, tgt, None)
+    loss_fn = gradient.make_loss_fn(obj, gnm)
+    (l0, f0), g0 = _on_tpu(jax.value_and_grad(loss_fn, has_aux=True), g, tgt, None)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)
+    dead = np.asarray(g1)[:, 0, :]
+    np.testing.assert_array_equal(dead, np.zeros_like(dead))
