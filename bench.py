@@ -10,7 +10,8 @@ reference publishes no numbers of its own — BASELINE.md).
 Env overrides: GGS_BENCH_H/W (canvas), GGS_BENCH_N (splats),
 GGS_BENCH_B (batch), GGS_BENCH_IMPL (pallas|xla|auto), GGS_BENCH_ITERS,
 GGS_BENCH_PRECISION (fast|highest|bf16), GGS_BENCH_CULL_EPS (fast-mode
-cull ε; the default is the largest A/B-validated selection-safe value).
+cull ε, read at call time; the default is the largest A/B-validated
+selection-safe value).
 """
 from __future__ import annotations
 
@@ -138,7 +139,7 @@ def main() -> None:
     if precision == "fast" and obj.cull_eps is not None:
         from ggs_tpu.ops import render_pallas as _rp
 
-        if float(obj.cull_eps) != _rp._CULL_EPS:
+        if float(obj.cull_eps) != _rp.DEFAULT_CULL_EPS:
             fast_default_renders_per_s = (B * iters) / timed(obj_fast_default)
     print(
         f"[bench] impl={impl} backend={jax.default_backend()} "

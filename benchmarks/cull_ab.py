@@ -2,7 +2,7 @@
 
 Runs the default-config GA (pop 32 x 512 splats -> synthetic 512²) for a
 fixed budget under one evaluation setting — `--precision highest` or
-`--precision fast` with the cull ε baked from GGS_CULL_EPS — across
+`--precision fast` at the given cull ε (default DEFAULT_CULL_EPS) — across
 several seeds IN ONE PROCESS (fresh compile-heavy processes degrade the
 axon tunnel; see CLAUDE.md), then rescores every final genome with the
 EXACT objective so the comparison is on one energy scale regardless of
@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument(
         "--cull-eps", type=float, default=None,
         help="fast-mode cull ε (first-class Objective knob since round 3; "
-        "default: the GGS_CULL_EPS env default)",
+        "default: render_pallas.DEFAULT_CULL_EPS)",
     )
     ap.add_argument("--gens", type=int, default=3000)
     ap.add_argument("--seeds", default="42,43,44")
@@ -74,7 +74,7 @@ def main() -> None:
     print(json.dumps({
         "precision": args.precision,
         "cull_eps": (
-            (rp._CULL_EPS if args.cull_eps is None else args.cull_eps)
+            (rp.DEFAULT_CULL_EPS if args.cull_eps is None else args.cull_eps)
             if args.precision == "fast" else None
         ),
         "gens": args.gens,

@@ -2,7 +2,7 @@
 
 The tight ε-aware AABB cull (docs/DESIGN.md §8c) truncates each splat at
 the radius where its contribution α·exp(−r²/2) falls below ε
-(Objective.cull_eps; default GGS_CULL_EPS = 2e-3). Larger ε cuts more
+(Objective.cull_eps; default render_pallas.DEFAULT_CULL_EPS = 2e-3). Larger ε cuts more
 (tile, splat) pairs — the quantity that sets the walk's µs/render floor —
 at the cost of a larger canvas tolerance. This tool measures, for each ε
 in the sweep (ONE process — ε is a first-class jit-static parameter since

@@ -34,17 +34,17 @@ def _grad_cull_eps(obj: Objective) -> Optional[float]:
 
     Mirrors the forward evaluator's semantics (objective.evaluate →
     render_pallas.fitness_pallas): culling applies only under
-    obj.precision == "fast", at obj.cull_eps (or the GGS_CULL_EPS default
-    when unset). Exact precisions return None — reference-pinned boxes,
+    obj.precision == "fast", at obj.cull_eps (or DEFAULT_CULL_EPS when
+    unset). Exact precisions return None — reference-pinned boxes,
     bit-matching the oracle autodiff. The XLA/oracle loss path ignores
     this entirely (always exact)."""
     if obj.precision != "fast":
         return None
     if obj.cull_eps is not None:
         return float(obj.cull_eps)
-    from ..ops.render_pallas import _CULL_EPS
+    from ..ops.render_pallas import DEFAULT_CULL_EPS
 
-    return _CULL_EPS
+    return DEFAULT_CULL_EPS
 
 
 def make_loss_fn(obj: Objective, gnm: GenomeConfig):

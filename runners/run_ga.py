@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
         "the recommended 8e-2 — at a proportionally larger canvas "
         "tolerance; 8e-2 is the largest value the 30k-gen GA A/B validated "
         "as selection-safe (1.2e-1 measurably degrades quality). "
-        "Default: GGS_CULL_EPS or 2e-3",
+        "Default: 2e-3",
     )
     p.add_argument("--metric", default="mse", choices=["mse", "ssim", "mix"])
     p.add_argument("--ssim-weight", type=float, default=0.5)

@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--cull-eps", type=float, default=None,
-        help="fast-mode cull ε (default: GGS_CULL_EPS / 2e-3). Measured "
+        help="fast-mode cull ε (default: 2e-3). Measured "
         "(DESIGN §8d): ε ≤ 1e-2 is quality-neutral for Adam fits; the GA's "
         "selection ε (8e-2) costs +48%% final MSE here — the polish ε and "
         "the selection ε are different knobs",

@@ -63,7 +63,7 @@ def main(argv=None) -> None:
         "--cull-eps", type=float, default=None,
         help="fast-mode cull threshold for the GA stage (DESIGN §8c); "
         "selection-safe up to 8e-2, the recommended evolution setting "
-        "(default: GGS_CULL_EPS or 2e-3)",
+        "(default: 2e-3)",
     )
     p.add_argument(
         "--memetic-every", type=int, default=0,

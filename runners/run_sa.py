@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="fast-mode splat-contribution cull threshold (DESIGN §8c): "
         "larger is faster at a proportionally larger canvas tolerance; "
         "selection-safe up to 8e-2, the recommended evolution setting "
-        "(default: GGS_CULL_EPS or 2e-3)",
+        "(default: 2e-3)",
     )
     p.add_argument("--metric", default="mse", choices=["mse", "ssim", "mix"])
     p.add_argument("--ssim-weight", type=float, default=0.5)

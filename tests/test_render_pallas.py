@@ -251,7 +251,7 @@ def test_fast_mode_cull_reduces_pairs(key):
 
 def test_cull_eps_parameter(key):
     """cull_eps as a first-class knob (DESIGN §8c): the parameter must
-    override the GGS_CULL_EPS module default everywhere it is threaded —
+    override the DEFAULT_CULL_EPS module default everywhere it is threaded —
     _tighten_boxes, fitness_pallas, and Objective.evaluate — with larger ε
     yielding strictly smaller boxes on low-alpha splats, while None
     reproduces the module default bit-for-bit."""
@@ -271,9 +271,9 @@ def test_cull_eps_parameter(key):
         (jnp.maximum(q.x1 - q.x0 + 1, 0)) * (jnp.maximum(q.y1 - q.y0 + 1, 0))
     )
     assert area(pt_big).sum() < area(pt_small).sum()
-    # None == module default (env-derived)
+    # None == the DEFAULT_CULL_EPS module constant
     pt_none = rp._tighten_boxes(p, 3.0)
-    pt_env = rp._tighten_boxes(p, 3.0, cull_eps=rp._CULL_EPS)
+    pt_env = rp._tighten_boxes(p, 3.0, cull_eps=rp.DEFAULT_CULL_EPS)
     for f in ("x0", "x1", "y0", "y1"):
         np.testing.assert_array_equal(
             np.asarray(getattr(pt_none, f)), np.asarray(getattr(pt_env, f))
