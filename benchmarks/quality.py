@@ -1,0 +1,212 @@
+"""Standing multi-image QUALITY benchmark (round-4; VERDICT r3 item 1).
+
+Throughput regressions are diffable round-over-round (suite.py rows);
+this harness makes QUALITY regressions equally diffable, and widens the
+evidence for the recommended evolution mode (`--precision fast
+--cull-eps 8e-2`, DESIGN §8c) from one synthetic target to five image
+families with distinct spectral/structural character
+(utils/io.quality_target: gradient / portrait / texture / text, plus the
+original synthetic — the bundled imgs/reference.png is a u8-quantized
+crop of the synthetic target, not an independent family, so it is not a
+separate row).
+
+Arms, per family (all rescored on the EXACT energy, fixed seeds):
+  ga          GA at equal GENERATIONS: exact vs fast @ --cull-eps.
+  ga-time     GA at equal WALL-CLOCK: fast re-run with its generation
+              count scaled so its realized wall matches the exact arm's
+              (two-pass protocol of equal_time_ab.py, probe folded into
+              the equal-gens fast arm).
+  adam        Adam polish from random init (grad-2k protocol): exact vs
+              fast @ each --adam-eps (selection ε ≠ polish ε — §8d).
+
+One process for everything (axon tunnel hygiene — CLAUDE.md); every row
+is one JSON line, also written to --out as a list for diffing.
+
+Usage:
+  python benchmarks/quality.py [--quick] [--out benchmarks/QUALITY_r04.json]
+  python benchmarks/quality.py --arms ga --families text,texture
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAMILIES = ["synthetic", "gradient", "portrait", "texture", "text"]
+_BLOCK = 1000  # jitted GA scan-block length for every run (one compile)
+
+
+def _psnr(mse: float) -> float:
+    return round(-10.0 * math.log10(max(mse, 1e-12)), 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default=",".join(FAMILIES))
+    ap.add_argument("--seeds", default="42,43,44")
+    ap.add_argument("--gens", type=int, default=10000)
+    ap.add_argument("--adam-steps", type=int, default=800)
+    ap.add_argument("--adam-n", type=int, default=2000)
+    ap.add_argument("--cull-eps", type=float, default=8e-2,
+                    help="GA selection ε arm (the recommended evolution mode)")
+    ap.add_argument("--adam-eps", type=float, nargs="+", default=[2e-3, 1e-2],
+                    help="gradient-polish ε arms (quality-neutral band, §8d)")
+    ap.add_argument("--arms", default="ga,ga-time,adam",
+                    help="comma subset of ga,ga-time,adam")
+    ap.add_argument("--impl", default="pallas",
+                    help="renderer impl (xla: CPU protocol smoke-testing)")
+    ap.add_argument("--size", type=int, default=512,
+                    help="canvas size (smoke-testing only; rows are 512)")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--quick", action="store_true",
+                    help="2 seeds, gens/4, adam-steps/2 (protocol smoke run)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ggs_tpu.config import GAConfig, GenomeConfig, GradConfig, MaskConfig
+    from ggs_tpu.models import ga, genome, gradient
+    from ggs_tpu.ops import mask as mask_mod
+    from ggs_tpu.ops import objective
+    from ggs_tpu.utils import io as io_mod
+
+    seeds = [int(s) for s in args.seeds.split(",")]
+    gens = args.gens
+    adam_steps = args.adam_steps
+    if args.quick:
+        seeds = seeds[:2]
+        gens = max(_BLOCK, gens // 4 // _BLOCK * _BLOCK)
+        adam_steps = max(100, adam_steps // 2)
+    families = [f for f in args.families.split(",") if f]
+    arms = set(args.arms.split(","))
+
+    H = W = args.size
+    gnm = GenomeConfig(n_splats=512)
+    mask_cfg = MaskConfig(strength=0.7)
+    obj_exact = objective.Objective(H=H, W=W, impl=args.impl)
+    obj_fast = obj_exact._replace(precision="fast", cull_eps=args.cull_eps)
+    targets = {f: io_mod.load_image(f"{f}:{H}x{W}") for f in families}
+    wms = {
+        f: mask_mod.compute_importance_mask(
+            jnp.asarray(t), H, W, smooth=mask_cfg.smooth,
+            strength=mask_cfg.strength,
+        )
+        for f, t in targets.items()
+    }
+
+    rows = []
+
+    def emit(row):
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    def run_ga_arm(family, obj, n_gens):
+        """-> (per-seed exact MSE dict, mean wall s/seed)."""
+        finals, walls = {}, []
+        for seed in seeds:
+            t0 = time.perf_counter()
+            best, _, _ = ga.genetic_approx(
+                targets[family], H, W, obj=obj,
+                ga=GAConfig(pop_size=32, generations=n_gens),
+                gnm=gnm, mask_cfg=mask_cfg, seed=seed, log_every=_BLOCK,
+                progress=False,
+            )
+            walls.append(time.perf_counter() - t0)
+            f = objective.evaluate(
+                obj_exact, best[None], jnp.asarray(targets[family]), wms[family]
+            )
+            finals[str(seed)] = round(float(f[0]), 6)
+        return finals, sum(walls) / len(walls)
+
+    def ga_row(family, arm, mode_label, finals, n_gens, wall):
+        vals = list(finals.values())
+        mean = sum(vals) / len(vals)
+        emit({
+            "config": f"quality-{arm}-{family}",
+            "arm": mode_label,
+            "gens": n_gens,
+            "wall_s_per_seed": round(wall, 1),
+            "exact_final_mse": finals,
+            "mean": round(mean, 6),
+            "psnr_db": _psnr(mean),
+        })
+        return mean
+
+    # ---- GA: equal generations, then equal wall-clock ----
+    if "ga" in arms or "ga-time" in arms:
+        for family in families:
+            ex_finals, ex_wall = run_ga_arm(family, obj_exact, gens)
+            ga_row(family, "ga", "exact", ex_finals, gens, ex_wall)
+            fa_finals, fa_wall = run_ga_arm(family, obj_fast, gens)
+            ga_row(
+                family, "ga", f"fast-eps{args.cull_eps:g}", fa_finals, gens, fa_wall
+            )
+            if "ga-time" not in arms:
+                continue
+            # equal wall-clock: the equal-gens fast arm doubles as the probe
+            gens_ft = max(
+                _BLOCK, int(round(gens * ex_wall / fa_wall / _BLOCK)) * _BLOCK
+            )
+            ft_finals, ft_wall = run_ga_arm(family, obj_fast, gens_ft)
+            ga_row(
+                family, "ga-time", f"fast-eps{args.cull_eps:g}", ft_finals,
+                gens_ft, ft_wall,
+            )
+
+    # ---- Adam polish from random init (grad_fast.py §2 protocol) ----
+    if "adam" in arms:
+        N = args.adam_n
+        gcfg = GradConfig(lr=1e-2)
+        ggnm = GenomeConfig(n_splats=N)
+        adam_arms = [("exact", obj_exact)] + [
+            (f"fast-eps{e:g}",
+             obj_exact._replace(precision="fast", cull_eps=e))
+            for e in args.adam_eps
+        ]
+        block = 100
+        for family in families:
+            tgt = io_mod.ensure_hw(jnp.asarray(targets[family]), H, W)
+            exact_loss = gradient.make_loss_fn(obj_exact, ggnm)
+            score = jax.jit(lambda g: exact_loss(g, tgt, None)[1])
+            for name, obj in adam_arms:
+                opt, _ = gradient.make_fit_step(obj, ggnm, gcfg)
+                run = gradient.make_run_block(obj, ggnm, gcfg)
+                finals = []
+                t0 = time.perf_counter()
+                for seed in seeds:
+                    g0 = genome.new_population(jax.random.PRNGKey(seed), 1, N, H, W)
+                    state = gradient.init_state(opt, g0)
+                    done = 0
+                    while done < adam_steps:
+                        state, m = run(state, tgt, None, block)
+                        done += block
+                    finals.append(round(float(score(state.g)[0]), 6))
+                wall = time.perf_counter() - t0
+                mean = sum(finals) / len(finals)
+                emit({
+                    "config": f"quality-adam-{family}",
+                    "arm": name,
+                    "steps": adam_steps,
+                    "n_splats": N,
+                    "wall_s_all_seeds": round(wall, 1),
+                    "exact_final_mse": {
+                        str(s): v for s, v in zip(seeds, finals)
+                    },
+                    "mean": round(mean, 6),
+                    "psnr_db": _psnr(mean),
+                })
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"[quality] wrote {len(rows)} rows to {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,11 +73,13 @@ def _render_padded(
     bin_capacity: Optional[int] = None,
     init_p: Optional[jnp.ndarray] = None,
     precision: str = "highest",
+    corner_eps: Optional[float] = None,
 ) -> jnp.ndarray:
     """Screen-space splats (slab coords) -> padded canvas [B, 3, Hp, Wp].
 
     One compositing pass over this SplatScreen's splats; with init_p, the
     canvas starts from a previous pass instead of the background.
+    corner_eps (fast mode) enables the rect-min corner cull at that ε.
     """
     B, N = p.cx.shape
     n_tx = _cdiv(W, tile_w)
@@ -93,6 +95,7 @@ def _render_padded(
     bin_idx, cnt = _bin_splats(
         p, n_tx, n_ty, tile_h, tile_w, cap, interpret,
         pad_slots=max(unroll, _SCATTER_PAD),
+        corner=None if corner_eps is None else _corner_params(p, corner_eps),
     )
     bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 
@@ -147,6 +150,7 @@ def _chunked_passes(
     bin_capacity: Optional[int],
     keep_last: bool,
     precision: str = "highest",
+    corner_eps: Optional[float] = None,
 ):
     """Split splats into SMEM-sized chunks. Returns (canvas_before_last,
     last_chunk_screen) when keep_last (for fused-fitness epilogues), else
@@ -163,6 +167,7 @@ def _chunked_passes(
         img_p = _render_padded(
             pc, Hs, W, tile_h, tile_w, background, unroll, interpret,
             bin_capacity=bin_capacity, init_p=img_p, precision=precision,
+            corner_eps=corner_eps,
         )
     return img_p, None
 
@@ -403,20 +408,100 @@ def _tighten_boxes(
     return p._replace(x0=x0, x1=x1, y0=y0, y1=y1)
 
 
+def _corner_eps(
+    precision: str, corner_cull: bool, cull_eps: Optional[float]
+) -> Optional[float]:
+    """Effective corner-cull ε: enabled only in fast mode, at the same ε
+    as the tight-box cull (one tolerance knob, two cull mechanisms)."""
+    if precision != "fast" or not corner_cull:
+        return None
+    return DEFAULT_CULL_EPS if cull_eps is None else float(cull_eps)
+
+
+def _corner_params(
+    p: codec.SplatScreen, cull_eps: Optional[float]
+) -> Tuple[jnp.ndarray, ...]:
+    """SplatScreen -> rect-min corner-cull params (see _corner_keep).
+
+    Same log2-folded quadratic the turbo walk evaluates
+    (_splat_feats_turbo rows 0-4, 8), so the cull's threshold is exactly
+    the walk's contribution scale."""
+    import math
+
+    eps = DEFAULT_CULL_EPS if cull_eps is None else float(cull_eps)
+    nsxx = (-0.5 * _LOG2E) * p.sxx
+    nsxy = (-_LOG2E) * p.sxy
+    nsyy = (-0.5 * _LOG2E) * p.syy
+    log2a = jnp.where(p.a > 0.0, jnp.log2(jnp.maximum(p.a, 1e-38)), -jnp.inf)
+    return (p.cx, p.cy, nsxx, nsxy, nsyy, log2a, math.log2(eps))
+
+
+def _corner_keep(
+    corner, x0, x1, y0, y1, t_x, t_y, tile_h: int, tile_w: int
+) -> jnp.ndarray:
+    """Rect-min corner cull: keep a (tile, splat) pair iff the splat's peak
+    contribution anywhere on the pair's pixel rect reaches the cull ε.
+
+    The turbo walk's per-pixel log2-contribution is the CONCAVE quadratic
+    n(dx, dy) = nsxx dx² + nsxy dx dy + nsyy dy² + log2a (maximum at the
+    splat center). Its max over the rect R = tile ∩ AABB (relative coords
+    [dx0,dx1]×[dy0,dy1]) has a closed form: if the center lies in R the
+    max is log2a; otherwise it lies on a boundary face of R visible from
+    the center (moving any boundary point straight toward the maximizer
+    increases a concave function until the segment leaves R through a
+    visible face). The two visible faces are the x- and y-edges nearest
+    the center; each edge's 1-D concave max is its unconstrained vertex
+    clamped to the edge segment. Both edge evaluations also cover the
+    center-inside case (clamp(0) = 0), so no branch is needed.
+
+    Culling a pair removes a contribution < ε at every pixel of the pair —
+    the same tolerance class as the ε-aware tight box (_tighten_boxes),
+    just sharpened from the box's 1-D marginals to the true 2-D form
+    (ellipse-corner tiles pass the AABB overlap test but fail this one).
+    DESIGN §8c records the round-3 build of this cull as measured-viable;
+    round 4 re-lands it behind Objective.corner_cull.
+    """
+    cx, cy, nsxx, nsxy, nsyy, log2a, log2eps = corner
+    # pair rect in pixel coords: tile pixel range ∩ AABB, center-relative
+    f32 = lambda v: v.astype(jnp.float32)  # noqa: E731
+    dx0 = jnp.maximum(f32(t_x * tile_w), f32(x0[:, None, :])) - cx[:, None, :]
+    dx1 = jnp.minimum(f32(t_x * tile_w + (tile_w - 1)), f32(x1[:, None, :])) - cx[:, None, :]
+    dy0 = jnp.maximum(f32(t_y * tile_h), f32(y0[:, None, :])) - cy[:, None, :]
+    dy1 = jnp.minimum(f32(t_y * tile_h + (tile_h - 1)), f32(y1[:, None, :])) - cy[:, None, :]
+    nxx = nsxx[:, None, :]
+    nxy = nsxy[:, None, :]
+    nyy = nsyy[:, None, :]
+    # vertex reciprocals per splat (division off the [B,T,N] grid);
+    # ns** <= -eps_det < 0 away from degeneracy (codec clamps l11/l22)
+    rx = (-0.5) * nsxy / jnp.minimum(nsxx, -1e-30)
+    ry = (-0.5) * nsxy / jnp.minimum(nsyy, -1e-30)
+    # nearest-x edge: dx = clamp(0), dy = clamped vertex of n(dxc, ·)
+    dxc = jnp.minimum(jnp.maximum(dx0, 0.0), dx1)
+    dyv = jnp.clip(ry[:, None, :] * dxc, dy0, dy1)
+    v1 = (nxx * dxc + nxy * dyv) * dxc + nyy * dyv * dyv
+    # nearest-y edge, symmetric
+    dyc = jnp.minimum(jnp.maximum(dy0, 0.0), dy1)
+    dxv = jnp.clip(rx[:, None, :] * dyc, dx0, dx1)
+    v2 = (nyy * dyc + nxy * dxv) * dyc + nxx * dxv * dxv
+    return log2a[:, None, :] + jnp.maximum(v1, v2) >= log2eps
+
+
 def _bin_splats(
     p: codec.SplatScreen, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int,
     interpret: bool = False, pad_slots: int = _SCATTER_PAD,
+    corner=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """AABBs from a SplatScreen -> static-shape per-tile splat lists."""
     return _bin_splats_xy(
         p.x0, p.x1, p.y0, p.y1, n_tx, n_ty, tile_h, tile_w, cap, interpret,
-        pad_slots,
+        pad_slots, corner=corner,
     )
 
 
 def _bin_splats_xy(
     x0, x1, y0, y1, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int,
     interpret: bool = False, pad_slots: int = _SCATTER_PAD,
+    corner=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """AABBs [B, N] -> (bin_idx [B, T, cap] int32 ascending, cnt [B, T] int32).
 
@@ -441,18 +526,29 @@ def _bin_splats_xy(
       truncation rule.
     """
     if n_tx * n_ty >= 256:
+        # The corner cull is a dense-path feature: in the scalar scatter
+        # kernel the 2-D rect-max test would be per-pair scalar-core work
+        # (~30 ops x 40-60 cycles each — CLAUDE.md), destroying the pair-
+        # bound advantage that is the scatter path's whole point. Large
+        # canvases keep the plain tight boxes; both are inside the fast
+        # mode's ε-tolerance contract, so lists may differ by canvas size.
         return _bin_splats_scatter(
             x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap, interpret, pad_slots
         )
-    return _bin_splats_dense(x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap)
+    return _bin_splats_dense(
+        x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap, corner=corner
+    )
 
 
 def _bin_splats_dense(
-    x0, x1, y0, y1, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int
+    x0, x1, y0, y1, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int,
+    corner=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense binning: [B, T, N] overlap matrix compacted by lax.sort.
     Fully sentinel-padded to cap. Also the correctness fallback the scatter
-    path jumps to (lax.cond) when a tile overflows its SMEM capacity."""
+    path jumps to (lax.cond) when a tile overflows its SMEM capacity.
+    `corner` (fast mode, opt-in) ANDs in the rect-min corner-cull test
+    (_corner_keep)."""
     B, N = x0.shape
     tx0 = x0 // tile_w
     tx1 = x1 // tile_w
@@ -470,6 +566,8 @@ def _bin_splats_dense(
         & (ty0[:, None, :] <= t_y)
         & (ty1[:, None, :] >= t_y)
     )  # [B, T, N]
+    if corner is not None:
+        ov &= _corner_keep(corner, x0, x1, y0, y1, t_x, t_y, tile_h, tile_w)
     order = jnp.where(ov, jnp.arange(N, dtype=jnp.int32)[None, None, :], jnp.int32(N))
     bin_idx = jax.lax.sort(order, dimension=-1)[..., :cap]
     cnt = jnp.minimum(jnp.sum(ov, axis=-1, dtype=jnp.int32), cap)
@@ -976,7 +1074,7 @@ def _fitness_tile_kernel(
     jax.jit,
     static_argnames=(
         "H", "W", "k_sigma", "background", "bin_capacity", "tile_h", "tile_w",
-        "interpret", "unroll", "precision", "cull_eps",
+        "interpret", "unroll", "precision", "cull_eps", "corner_cull",
     ),
 )
 def render_pallas(
@@ -992,6 +1090,7 @@ def render_pallas(
     unroll: int = 8,
     precision: str = "highest",  # "highest" (bit-exact) | "fast" (~5e-5)
     cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> DEFAULT_CULL_EPS)
+    corner_cull: bool = False,  # fast-mode rect-min corner cull (_corner_keep)
 ) -> jnp.ndarray:
     """Render renderer-format genomes [B, N, 9] (or [N, 9]) -> [B, H, W, 3].
 
@@ -1005,12 +1104,14 @@ def render_pallas(
     assert C >= codec.GENE_DIM
     g9 = g9[..., : codec.GENE_DIM].astype(jnp.float32)
 
+    corner_eps = _corner_eps(precision, corner_cull, cull_eps)
     p = codec.preprocess(g9, H, W, k_sigma)
     if precision == "fast":
         p = _tighten_boxes(p, k_sigma, cull_eps)
     out, _ = _chunked_passes(
         p, H, W, tile_h, tile_w, tuple(float(c) for c in background),
         unroll, interpret, bin_capacity, keep_last=False, precision=precision,
+        corner_eps=corner_eps,
     )
 
     img = jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1))
@@ -1022,7 +1123,7 @@ def render_pallas(
     static_argnames=(
         "H", "W", "k_sigma", "background", "boost_only", "boost_beta",
         "bin_capacity", "tile_h", "tile_w", "interpret", "has_mask", "precision",
-        "unroll", "cull_eps",
+        "unroll", "cull_eps", "corner_cull",
     ),
 )
 def fitness_pallas(
@@ -1045,6 +1146,7 @@ def fitness_pallas(
     precision: str = "highest",
     unroll: int = 8,
     cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> DEFAULT_CULL_EPS)
+    corner_cull: bool = False,  # fast-mode rect-min corner cull (_corner_keep)
 ) -> jnp.ndarray:
     """Fused render+fitness: renderer genomes [B, N, 9] -> fitness [B].
 
@@ -1071,6 +1173,7 @@ def fitness_pallas(
         denom = jnp.sum(w_eff) + 1e-12
 
     bgt = tuple(float(c) for c in background)
+    corner_eps = _corner_eps(precision, corner_cull, cull_eps)
     if precision == "fast" and _cdiv(N, _MAX_SMEM_SPLATS) <= 1:
         # Single-chunk fast path: preprocess + table build fused into one
         # Pallas op (_prep_turbo_pallas) — skips the ~50-op XLA chain whose
@@ -1079,7 +1182,7 @@ def fitness_pallas(
         num = _fitness_partials(
             None, target, w_eff, H, W, tile_h, tile_w, bgt, jnp.float32,
             unroll, interpret, bin_capacity, None, precision=precision,
-            prep=prep,
+            prep=prep, corner_eps=corner_eps,
         )
         return num / denom
     p = codec.preprocess(g9, H, W, k_sigma)
@@ -1087,12 +1190,13 @@ def fitness_pallas(
         p = _tighten_boxes(p, k_sigma, cull_eps)
     init_p, p_last = _chunked_passes(
         p, H, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
-        keep_last=True, precision=precision,
+        keep_last=True, precision=precision, corner_eps=corner_eps,
     )
     num = _fitness_partials(
         p_last, target, w_eff, H, W, tile_h, tile_w, bgt,
         jnp.bfloat16 if precision == "bf16" else jnp.float32,
         unroll, interpret, bin_capacity, init_p, precision=precision,
+        corner_eps=corner_eps,
     )
     return num / denom
 
@@ -1113,11 +1217,14 @@ def _fitness_partials(
     init_p: Optional[jnp.ndarray],
     precision: str = "highest",
     prep: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    corner_eps: Optional[float] = None,
 ) -> jnp.ndarray:
     """Fused composite + weighted-SSE for one (final) splat chunk -> [B].
 
     `prep` short-circuits table construction with (ff, fi) from
     _prep_turbo_pallas (fast path) — p is then unused and may be None."""
+    import math
+
     B, N = (prep[0].shape[0], prep[0].shape[2] - 1) if prep is not None else p.cx.shape
     n_tx = _cdiv(W, tile_w)
     n_ty = _cdiv(Hs, tile_h)
@@ -1130,14 +1237,23 @@ def _fitness_partials(
     if prep is not None:
         ff, fi = prep
         feats = ff
+        corner = None
+        if corner_eps is not None:
+            # the turbo table already holds the log2-folded quadratic
+            # (_prep_turbo_kernel rows 0-4, 8) — slice, don't recompute
+            corner = (
+                ff[:, 0, :N], ff[:, 1, :N], ff[:, 2, :N], ff[:, 3, :N],
+                ff[:, 4, :N], ff[:, 8, :N], math.log2(corner_eps),
+            )
         bin_idx, cnt = _bin_splats_xy(
             fi[:, 0], fi[:, 1], fi[:, 2], fi[:, 3], n_tx, n_ty, tile_h, tile_w,
-            cap, interpret, pad_slots=ps,
+            cap, interpret, pad_slots=ps, corner=corner,
         )
     else:
         feats = _splat_feats_turbo(p) if turbo else _splat_feats_fast(p)
         bin_idx, cnt = _bin_splats(
             p, n_tx, n_ty, tile_h, tile_w, cap, interpret, pad_slots=ps,
+            corner=None if corner_eps is None else _corner_params(p, corner_eps),
         )
     bin_idx = jnp.pad(bin_idx, ((0, 0), (0, 0), (0, unroll)), constant_values=N)
 

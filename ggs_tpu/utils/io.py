@@ -52,18 +52,145 @@ def synthetic_target(H: int = 512, W: int = 512, seed: int = 0) -> np.ndarray:
     return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
+def _value_noise(rng, H: int, W: int, grid: int) -> np.ndarray:
+    """One octave of bilinear value noise on a (grid+1)² lattice -> [H, W]."""
+    lat = rng.uniform(0.0, 1.0, (grid + 1, grid + 1)).astype(np.float32)
+    y = np.linspace(0.0, grid, H, dtype=np.float32)
+    x = np.linspace(0.0, grid, W, dtype=np.float32)
+    yi = np.minimum(y.astype(np.int32), grid - 1)
+    xi = np.minimum(x.astype(np.int32), grid - 1)
+    fy = (y - yi)[:, None]
+    fx = (x - xi)[None, :]
+    a = lat[yi][:, xi]
+    b = lat[yi][:, xi + 1]
+    c = lat[yi + 1][:, xi]
+    d = lat[yi + 1][:, xi + 1]
+    return (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+
+
+def quality_target(family: str, H: int = 512, W: int = 512) -> np.ndarray:
+    """Deterministic procedural targets spanning image families with
+    distinct spectral/structural character, float32 [H, W, 3] in [0, 1].
+
+    Built for benchmarks/quality.py: the fast-mode ε-cull's quality
+    behavior is image-family-dependent (docs/DESIGN.md §8d measured a
+    uniform-noise-vs-natural asymmetry), so its selection-safety claim is
+    validated across these families, not one target. Families:
+
+      gradient  smooth linear+radial ramps — zero high-frequency content;
+                sensitive to any systematic energy bias.
+      portrait  center-heavy smooth blobs with small high-contrast
+                features (face-like spatial statistics).
+      texture   4-octave fractal value noise per channel — broadband
+                spatial frequency, no flat regions.
+      text      glyph-like random strokes on a paper ramp — thin
+                hard-edged structure, the splat-hostile extreme.
+
+    Plus "synthetic" (synthetic_target) and the bundled photo, addressed
+    via load_image. No file IO; numpy-only; fixed internal seeds.
+    """
+    u, v = np.meshgrid(
+        np.linspace(0.0, 1.0, W, dtype=np.float32),
+        np.linspace(0.0, 1.0, H, dtype=np.float32),
+    )
+    if family == "gradient":
+        r = np.sqrt((u - 0.35) ** 2 + (v - 0.4) ** 2)
+        img = np.stack(
+            [
+                0.15 + 0.7 * u,
+                0.2 + 0.6 * np.clip(1.2 - 1.4 * r, 0.0, 1.0),
+                0.8 - 0.5 * v,
+            ],
+            axis=-1,
+        )
+    elif family == "portrait":
+        rng = np.random.default_rng(7)
+        img = np.stack(  # dim backdrop vignette
+            [0.18 + 0.10 * v, 0.16 + 0.08 * v, 0.22 + 0.06 * u], axis=-1
+        )
+
+        def blob(cx, cy, sx, sy, col, a, th=0.0):
+            dx, dy = u - cx, v - cy
+            rx = np.cos(th) * dx + np.sin(th) * dy
+            ry = -np.sin(th) * dx + np.cos(th) * dy
+            f = a * np.exp(-0.5 * ((rx / sx) ** 2 + (ry / sy) ** 2))
+            return (1.0 - f[..., None]) * img + f[..., None] * np.asarray(
+                col, np.float32
+            )
+
+        img = blob(0.5, 0.95, 0.30, 0.35, (0.35, 0.25, 0.40), 0.95)  # torso
+        img = blob(0.5, 0.42, 0.16, 0.21, (0.85, 0.65, 0.52), 0.98)  # head
+        img = blob(0.5, 0.22, 0.19, 0.12, (0.25, 0.16, 0.10), 0.95)  # hair
+        img = blob(0.43, 0.40, 0.025, 0.016, (0.08, 0.07, 0.09), 0.97)  # eyes
+        img = blob(0.57, 0.40, 0.025, 0.016, (0.08, 0.07, 0.09), 0.97)
+        img = blob(0.5, 0.47, 0.012, 0.03, (0.75, 0.52, 0.42), 0.6)  # nose
+        img = blob(0.5, 0.545, 0.045, 0.012, (0.65, 0.25, 0.28), 0.9)  # mouth
+        img = blob(0.40, 0.47, 0.035, 0.025, (0.92, 0.70, 0.60), 0.4)  # cheeks
+        img = blob(0.60, 0.47, 0.035, 0.025, (0.92, 0.70, 0.60), 0.4)
+        for _ in range(4):  # soft background bokeh
+            img = blob(
+                rng.uniform(0.05, 0.95), rng.uniform(0.05, 0.95),
+                rng.uniform(0.05, 0.12), rng.uniform(0.05, 0.12),
+                rng.uniform(0.2, 0.6, 3), 0.35, rng.uniform(0, np.pi),
+            )
+    elif family == "texture":
+        rng = np.random.default_rng(11)
+        chans = []
+        for _ in range(3):
+            acc = np.zeros((H, W), np.float32)
+            amp, tot = 1.0, 0.0
+            for g in (4, 8, 16, 32):
+                acc += amp * _value_noise(rng, H, W, g)
+                tot += amp
+                amp *= 0.55
+            chans.append(acc / tot)
+        img = np.stack(chans, axis=-1)
+        img = 0.15 + 0.7 * (0.6 * img + 0.4 * img.mean(-1, keepdims=True))
+    elif family == "text":
+        rng = np.random.default_rng(3)
+        img = np.stack(  # paper with a slight ramp
+            [0.88 - 0.08 * v, 0.86 - 0.06 * v, 0.80 + 0.05 * u], axis=-1
+        )
+        cell = max(H // 16, 8)
+        ink = np.zeros((H, W), bool)
+        for cy in range(1, H // cell - 1):
+            for cx in range(1, W // cell - 1):
+                if rng.uniform() < 0.25:
+                    continue
+                y0, x0 = cy * cell, cx * cell
+                for _ in range(rng.integers(2, 5)):  # strokes in the cell
+                    horiz = rng.uniform() < 0.5
+                    t = rng.integers(1, max(cell // 8, 2) + 1)  # thickness
+                    off = rng.integers(1, cell - t)
+                    lo = rng.integers(1, cell // 2)
+                    hi = rng.integers(cell // 2, cell - 1)
+                    if horiz:
+                        ink[y0 + off:y0 + off + t, x0 + lo:x0 + hi] = True
+                    else:
+                        ink[y0 + lo:y0 + hi, x0 + off:x0 + off + t] = True
+        img[ink] = (0.08, 0.08, 0.12)
+    else:
+        raise ValueError(
+            f"unknown quality-target family {family!r} "
+            "(gradient|portrait|texture|text)"
+        )
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+_PROCEDURAL_FAMILIES = ("synthetic", "gradient", "portrait", "texture", "text")
+
+
 def load_image(path: str) -> np.ndarray:
     """Load an RGB image -> float32 [H, W, 3] in [0, 1] (run_ggs.py:33-36).
 
-    The literal path "synthetic" (or "synthetic:HxW") returns the
-    deterministic procedural target instead of reading a file.
+    The literal names "synthetic", "gradient", "portrait", "texture",
+    "text" (each optionally ":HxW") return deterministic procedural
+    targets instead of reading a file.
     """
-    if path == "synthetic" or path.startswith("synthetic:"):
-        if ":" in path:
-            h, w = (int(s) for s in path.split(":", 1)[1].lower().split("x"))
-        else:
-            h = w = 512
-        return synthetic_target(h, w)
+    fam, _, size = path.partition(":")
+    if fam in _PROCEDURAL_FAMILIES:
+        h, w = (int(s) for s in size.lower().split("x")) if size else (512, 512)
+        return synthetic_target(h, w) if fam == "synthetic" else quality_target(fam, h, w)
     from PIL import Image
 
     pil = Image.open(path).convert("RGB")

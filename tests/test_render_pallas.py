@@ -299,6 +299,118 @@ def test_cull_eps_parameter(key):
     assert not np.allclose(np.asarray(e_small), np.asarray(e_big))
 
 
+def test_corner_keep_matches_bruteforce(key):
+    """_corner_keep's closed-form rect-max (two visible-edge clamped
+    vertices of the concave log2-contribution) must never cull a
+    (tile, splat) pair whose brute-force max over the pair's integer
+    pixel rect reaches the cull ε — the conservativeness that bounds the
+    corner cull's error to the same ε class as the tight box."""
+    from ggs_tpu.ops import codec as codec_mod
+    from ggs_tpu.ops import render_pallas as rp
+
+    B, N, H, W = 2, 48, 128, 128
+    tile_h = tile_w = 32
+    n_tx, n_ty = W // tile_w, H // tile_h
+    eps = 8e-2
+    g9 = _genomes(key, B, N, H, W, max_scale=0.4)
+    p = codec_mod.preprocess(g9, H, W, 3.0)
+    p = rp._tighten_boxes(p, 3.0, eps)
+    corner = rp._corner_params(p, eps)
+    T = n_tx * n_ty
+    t_ids = jnp.arange(T, dtype=jnp.int32)
+    t_x = (t_ids % n_tx)[None, :, None]
+    t_y = (t_ids // n_tx)[None, :, None]
+    keep = np.asarray(
+        rp._corner_keep(corner, p.x0, p.x1, p.y0, p.y1, t_x, t_y, tile_h, tile_w)
+    )
+    cx, cy, nsxx, nsxy, nsyy, log2a, log2eps = (np.asarray(c) for c in corner)
+    x0, x1 = np.asarray(p.x0), np.asarray(p.x1)
+    y0, y1 = np.asarray(p.y0), np.asarray(p.y1)
+    n_overlap = n_culled = 0
+    for b in range(B):
+        for t in range(T):
+            txv, tyv = t % n_tx, t // n_tx
+            for n in range(N):
+                lo_x = max(txv * tile_w, x0[b, n])
+                hi_x = min(txv * tile_w + tile_w - 1, x1[b, n])
+                lo_y = max(tyv * tile_h, y0[b, n])
+                hi_y = min(tyv * tile_h + tile_h - 1, y1[b, n])
+                if lo_x > hi_x or lo_y > hi_y:
+                    continue  # no AABB overlap; keep value never read
+                n_overlap += 1
+                n_culled += not keep[b, t, n]
+                dxs = np.arange(lo_x, hi_x + 1) - cx[b, n]
+                dys = (np.arange(lo_y, hi_y + 1) - cy[b, n])[:, None]
+                val = (
+                    nsxx[b, n] * dxs * dxs + nsxy[b, n] * dxs * dys
+                    + nsyy[b, n] * dys * dys + log2a[b, n]
+                )
+                if val.max() >= log2eps:
+                    assert keep[b, t, n], (b, t, n, float(val.max()), log2eps)
+    assert n_culled > 0, "protocol error: no corner-cullable pair sampled"
+    assert n_overlap > 0
+
+
+def test_corner_cull_within_tolerance(key):
+    """corner_cull=True (fitness_pallas prep path, render_pallas p path,
+    Objective threading) must stay inside the fast mode's ε tolerance
+    while strictly reducing the binned pair count vs tight boxes alone."""
+    from ggs_tpu.ops import codec as codec_mod
+    from ggs_tpu.ops import objective as objective_mod
+    from ggs_tpu.ops import render_pallas as rp
+
+    H, W = 128, 256
+    eps = 8e-2
+    g9 = _genomes(key, 3, 48, H, W, max_scale=0.4)
+    tgt = jax.random.uniform(jax.random.fold_in(key, 9), (H, W, 3), jnp.float32)
+
+    # pair counts: corner cull only ever removes pairs
+    p = codec_mod.preprocess(g9, H, W, 3.0)
+    pt = rp._tighten_boxes(p, 3.0, eps)
+    n_tx, n_ty = rp._cdiv(W, 128), rp._cdiv(H, 32)
+    _, c_box = rp._bin_splats_dense(
+        pt.x0, pt.x1, pt.y0, pt.y1, n_tx, n_ty, 32, 128, 48
+    )
+    _, c_corner = rp._bin_splats_dense(
+        pt.x0, pt.x1, pt.y0, pt.y1, n_tx, n_ty, 32, 128, 48,
+        corner=rp._corner_params(pt, eps),
+    )
+    assert int(jnp.sum(c_corner)) < int(jnp.sum(c_box))
+
+    # fused fitness (single-chunk turbo prep path slices ff for corner)
+    f_fast = rp.fitness_pallas(
+        g9, tgt, None, H, W, interpret=True, precision="fast", cull_eps=eps
+    )
+    f_corner = rp.fitness_pallas(
+        g9, tgt, None, H, W, interpret=True, precision="fast", cull_eps=eps,
+        corner_cull=True,
+    )
+    np.testing.assert_allclose(np.asarray(f_corner), np.asarray(f_fast), atol=2e-3)
+    # render path (corner params from the SplatScreen)
+    r_fast = render_pallas(
+        g9, H, W, interpret=True, precision="fast", cull_eps=eps
+    )
+    r_corner = render_pallas(
+        g9, H, W, interpret=True, precision="fast", cull_eps=eps,
+        corner_cull=True,
+    )
+    assert float(jnp.max(jnp.abs(r_corner - r_fast))) <= eps * 1.5
+    # exact mode ignores the flag entirely (bit-exact contract)
+    r_ex = render_pallas(g9, H, W, interpret=True)
+    r_ex_flag = render_pallas(g9, H, W, interpret=True, corner_cull=True)
+    np.testing.assert_array_equal(np.asarray(r_ex), np.asarray(r_ex_flag))
+    # Objective threading
+    g = genome.new_population(jax.random.fold_in(key, 3), 2, 48, H, W,
+                              min_scale=1.0, max_scale=0.4)
+    obj = objective_mod.Objective(H=H, W=W, impl="pallas", precision="fast",
+                                  interpret=True, cull_eps=eps)
+    e_box = objective_mod.evaluate(obj, g, tgt, None)
+    e_corner = objective_mod.evaluate(
+        obj._replace(corner_cull=True), g, tgt, None
+    )
+    np.testing.assert_allclose(np.asarray(e_corner), np.asarray(e_box), atol=2e-3)
+
+
 def test_fast_mode_zero_alpha_and_sentinel(key):
     """alpha = 0 splats must contribute exactly nothing in fast mode
     (log2(alpha) = -inf => exp2 = 0, and the cull drops them from the
