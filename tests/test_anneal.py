@@ -98,6 +98,7 @@ def test_sigma_schedule():
     assert anneal.sigma_schedule(0, total, 0.0) == 0.0
 
 
+@pytest.mark.slow
 def test_ga_anneal_smoke(key):
     """Annealed GA runs end-to-end (sigma steps, rescore, final sigma=0)
     and reaches a best fitness commensurate with the plain GA's."""
@@ -130,6 +131,7 @@ def test_ga_anneal_smoke(key):
     assert np.isfinite(bf_anneal)
 
 
+@pytest.mark.slow
 def test_adam_anneal_step_backends_agree(key):
     """The blurred-loss Adam step chains gradients through the genome blur
     identically on the XLA-autodiff and custom-VJP Pallas backends."""
@@ -158,6 +160,7 @@ def test_adam_anneal_step_backends_agree(key):
     np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_adam_anneal_smoke(key):
     """Annealed fit_adam runs the full sigma schedule and ends at the true
     objective, converging comparably to plain Adam."""

@@ -7,6 +7,7 @@ from ggs_tpu.config import GAConfig, GenomeConfig
 from ggs_tpu.models import ga, genome
 from ggs_tpu.ops import codec, objective, oracle
 from ggs_tpu.utils import checkpoint as ckpt
+import pytest
 
 H = W = 16
 GNM = GenomeConfig(n_splats=4, min_scale=1.0, max_scale=0.3)
@@ -19,6 +20,7 @@ def _target(key):
     return oracle.render_xla(codec.genome_to_renderer(g), H, W)
 
 
+@pytest.mark.slow
 def test_state_roundtrip(tmp_path, key):
     target = _target(key)
     st = ga.init(key, OBJ, target, None, CFG, GNM)
@@ -33,6 +35,7 @@ def test_state_roundtrip(tmp_path, key):
         )
 
 
+@pytest.mark.slow
 def test_resume_is_bit_exact(tmp_path, key):
     """run(10) == run(5) -> checkpoint -> load -> run(5)."""
     target = _target(jax.random.PRNGKey(1001))

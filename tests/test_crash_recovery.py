@@ -12,6 +12,7 @@ import time
 
 import numpy as np
 from PIL import Image
+import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -30,6 +31,7 @@ def _env():
     return env
 
 
+@pytest.mark.slow
 def test_sigkill_then_resume(tmp_path):
     img = tmp_path / "target.png"
     rng = np.random.default_rng(0)

@@ -7,6 +7,7 @@ import numpy as np
 from ggs_tpu.config import GAConfig, GenomeConfig
 from ggs_tpu.models import ga, genome
 from ggs_tpu.ops import codec, objective, oracle
+import pytest
 
 H = W = 24
 GNM = GenomeConfig(n_splats=8, min_scale=1.0, max_scale=0.3)
@@ -19,6 +20,7 @@ def _target(key):
     return oracle.render_xla(codec.genome_to_renderer(g), H, W)
 
 
+@pytest.mark.slow
 def test_ga_best_monotone_and_improves(key):
     target = _target(jax.random.PRNGKey(1007))
     cfg = GAConfig(pop_size=8, generations=40, elite_k=2, cxpb=0.3, mutpb=0.2)
@@ -35,6 +37,7 @@ def test_ga_best_monotone_and_improves(key):
     assert np.all(m[:, 1] >= m[:, 0] - 1e-7)
 
 
+@pytest.mark.slow
 def test_ga_elites_preserved(key):
     """Elite carry-over: pop best fitness never regresses between generations."""
     target = _target(jax.random.PRNGKey(1003))
@@ -50,6 +53,7 @@ def test_ga_elites_preserved(key):
         prev_min = cur_min
 
 
+@pytest.mark.slow
 def test_ga_deterministic_given_seed(key):
     target = _target(jax.random.PRNGKey(1005))
     cfg = GAConfig(pop_size=4, generations=10, elite_k=1)
@@ -71,6 +75,7 @@ def test_ga_reeval_elites_mode(key):
     assert np.all(np.isfinite(np.asarray(m)))
 
 
+@pytest.mark.slow
 def test_genetic_approx_driver(tmp_path, key):
     """End-to-end host driver: curves, CSV, PNG artifacts."""
     target = _target(key)
@@ -148,6 +153,7 @@ def test_stall_patience_ends_run_early(tmp_path, key):
     assert gens_run >= 10  # full blocks only
 
 
+@pytest.mark.slow
 def test_explicit_weight_mask_override(tmp_path, key):
     """genetic_approx(weight_mask=...) must use the caller's mask instead
     of computing one (the --fixed-mask progressive path). A mask that
@@ -170,6 +176,7 @@ def test_explicit_weight_mask_override(tmp_path, key):
     assert fit_half != fit_auto
 
 
+@pytest.mark.slow
 def test_recycle_on_stall(tmp_path, key, monkeypatch):
     """recycle_patience must trigger recycle_population when the best
     fitness stalls (and reset the counter so the trigger re-arms), without

@@ -6,6 +6,7 @@ import numpy as np
 from ggs_tpu.config import GAConfig, GenomeConfig, GradConfig
 from ggs_tpu.models import ga, genome, gradient
 from ggs_tpu.ops import codec, objective, oracle
+import pytest
 
 H = W = 24
 GNM = GenomeConfig(n_splats=8, min_scale=1.0, max_scale=0.3)
@@ -73,6 +74,7 @@ def test_refine_elites_never_worsens(key):
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f_check), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_memetic_run_block(key):
     target = _target(jax.random.PRNGKey(3005))
     cfg = GAConfig(pop_size=8, generations=20, elite_k=2, cxpb=0.2, mutpb=0.2)
@@ -87,6 +89,7 @@ def test_memetic_run_block(key):
     assert float(st.best_fit) <= b0
 
 
+@pytest.mark.slow
 def test_fast_precision_adam_reduces_exact_loss(key):
     """Adam on the ε-culled objective (precision="fast" — exact gradients
     of the culled render, DESIGN §8d) must still descend the EXACT energy
@@ -164,6 +167,7 @@ def test_mix_gradient_matches_finite_differences(key):
     np.testing.assert_allclose(dd, fd, rtol=2e-2, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_mix_gradient_pallas_matches_oracle(key):
     """The custom-VJP Pallas render under the mix energy must produce the
     oracle's gradients (interpret mode on CPU)."""
@@ -193,6 +197,7 @@ def test_refine_elites_mix_metric_commensurate(key):
     assert float(np.asarray(f2).min()) < float(np.asarray(fits).min())
 
 
+@pytest.mark.slow
 def test_refine_elites_fast_precision_commensurate(key):
     """Same bug class as the metric mismatch, reachable via
     precision="fast"/cull_eps (the recommended evolution mode, DESIGN
@@ -222,6 +227,7 @@ def test_refine_elites_fast_precision_commensurate(key):
     assert float(np.asarray(f2).min()) < float(np.asarray(fits).min())
 
 
+@pytest.mark.slow
 def test_memetic_run_block_mix_metric(key):
     """GA + memetic refinement on the mix metric: one consistent energy
     end-to-end; best-fitness curve stays monotone."""

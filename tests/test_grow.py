@@ -6,6 +6,7 @@ import numpy as np
 from ggs_tpu.config import GenomeConfig
 from ggs_tpu.models import genome, grow
 from ggs_tpu.ops import codec, objective, oracle
+import pytest
 
 H = W = 32
 GNM = GenomeConfig(n_splats=8, min_scale=1.0, max_scale=0.3)
@@ -40,6 +41,7 @@ def test_grow_targets_high_error_pixels(key):
     assert np.all(new[..., 8] > 0)  # visible alpha
 
 
+@pytest.mark.slow
 def test_grow_improves_fitness_headroom(key):
     """After growth, the population's best fitness must be improvable below
     the pre-growth best (the added capacity is usable): one exact check —

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ggs_tpu.models import genome, operators
+import pytest
 
 
 def test_tournament_prefers_lower_fitness(key):
@@ -95,6 +96,7 @@ def test_zorder_swap_is_permutation_moving_bigger_earlier(key):
     assert swaps > 0  # the operator actually fires
 
 
+@pytest.mark.slow
 def test_mutate_population_vmap_matches_individual(key):
     pop = genome.new_population(key, 4, 8, 32, 32)
     sig = {k: 0.1 for k in ["xy", "alog", "blog", "theta", "rgb", "alpha"]}

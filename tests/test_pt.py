@@ -6,6 +6,7 @@ import numpy as np
 from ggs_tpu.config import GenomeConfig, SAConfig
 from ggs_tpu.models import genome, pt
 from ggs_tpu.ops import codec, objective, oracle
+import pytest
 
 H = W = 16
 GNM = GenomeConfig(n_splats=6, min_scale=1.0, max_scale=0.3)
@@ -25,6 +26,7 @@ def test_temp_ladder_geometric():
     np.testing.assert_allclose(ratios, ratios[0], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pt_improves_and_best_is_monotone(key):
     target = _target(jax.random.PRNGKey(501))
     sa_cfg = SAConfig(iterations=300, t0=1e-3)
@@ -38,6 +40,7 @@ def test_pt_improves_and_best_is_monotone(key):
     assert np.isfinite(m).all()
 
 
+@pytest.mark.slow
 def test_pt_swap_preserves_multiset(key):
     """Swaps permute (genome, fitness) pairs across slots: after any number
     of steps the fits stay consistent with re-evaluating the genomes."""
@@ -51,6 +54,7 @@ def test_pt_swap_preserves_multiset(key):
     np.testing.assert_allclose(np.asarray(fits_re), np.asarray(st.fits), rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_pt_driver_smoke(tmp_path, key):
     """simulated_annealing(replicas>1) end-to-end through the host driver."""
     from ggs_tpu.models import sa as sa_mod

@@ -7,6 +7,7 @@ import numpy as np
 from ggs_tpu.models import genome
 from ggs_tpu.ops import codec, oracle
 from ggs_tpu.ops.render_grad import render_pallas_diff
+import pytest
 
 H, W = 32, 128
 
@@ -23,6 +24,7 @@ def test_forward_matches_oracle(key):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grads_match_oracle_autodiff(key):
     g9 = _g9(key)
     tgt = jax.random.uniform(jax.random.PRNGKey(4001), (H, W, 3))
@@ -38,6 +40,7 @@ def test_grads_match_oracle_autodiff(key):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(go), rtol=1e-3, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_grads_with_saturated_alpha(key):
     """f == 1 exactly (alpha 255, pixel at center): the division-free
     backward must stay finite where (1 - f) == 0."""
@@ -60,6 +63,7 @@ def test_grads_with_saturated_alpha(key):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(go), rtol=1e-3, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_grads_match_finite_differences(key):
     """End-to-end axes-angle -> pallas render -> MSE vs central differences."""
     N = 3
@@ -80,6 +84,7 @@ def test_grads_match_finite_differences(key):
         )
 
 
+@pytest.mark.slow
 def test_more_splats_than_chunk(key):
     """cnt > backward chunk size (32): multi-chunk reverse path."""
     g9 = _g9(key, B=1, N=70, max_scale=1.0)  # huge splats -> every tile sees ~all
@@ -96,6 +101,7 @@ def test_more_splats_than_chunk(key):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(go), rtol=2e-3, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_chunked_passes_grads_match_oracle(monkeypatch, key):
     """Force the SMEM splat-chunking path (multiple chained custom-VJP
     passes) and check both the forward image and jax.grad against the
@@ -130,6 +136,7 @@ def test_chunked_passes_grads_match_oracle(monkeypatch, key):
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_fused_value_and_grad_matches_unfused(key):
     """The fused single-kernel loss+grad (forward + on-chip loss head +
     backward in one pallas_call, ops/render_grad.fused_value_and_grad)
@@ -161,6 +168,7 @@ def test_fused_value_and_grad_matches_unfused(key):
         )
 
 
+@pytest.mark.slow
 def test_culled_fused_matches_unfused_culled(key):
     """precision="fast" through the differentiable paths (DESIGN §8d): the
     fused single-kernel loss+grad under the ε-cull must equal
@@ -206,6 +214,7 @@ def test_culled_fused_matches_unfused_culled(key):
     assert float(np.abs(np.asarray(g1)[:, 2:, :]).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_fused_value_and_grad_chunked_fallback(key, monkeypatch):
     """N above the SMEM chunk limit must fall back to the unfused path and
     still produce identical values/grads."""

@@ -46,6 +46,7 @@ def _run(script, args, timeout=600):
     return r
 
 
+@pytest.mark.slow
 def test_run_ga_cli(tmp_path, target_png):
     _run("run_ga.py", [
         "--image", target_png, "--output-dir", str(tmp_path),
@@ -58,6 +59,7 @@ def test_run_ga_cli(tmp_path, target_png):
     assert (tmp_path / "ga_loss.csv").exists()
 
 
+@pytest.mark.slow
 def test_run_ga_grow_auto_cli(tmp_path, target_png):
     _run("run_ga.py", [
         "--image", target_png, "--output-dir", str(tmp_path),
@@ -68,6 +70,7 @@ def test_run_ga_grow_auto_cli(tmp_path, target_png):
     assert (tmp_path / "ga_splats.png").exists()
 
 
+@pytest.mark.slow
 def test_run_ga_memetic_cli(tmp_path, target_png):
     """Hybrid GA+SGD via the CLI (--memetic-every), combined with the
     recommended fast evaluation mode so the commensurate-accept path
@@ -84,6 +87,7 @@ def test_run_ga_memetic_cli(tmp_path, target_png):
     assert (tmp_path / "ga_loss.csv").exists()
 
 
+@pytest.mark.slow
 def test_run_ga_progressive_fixed_mask_cli(tmp_path, target_png):
     _run("run_ga.py", [
         "--image", target_png, "--output-dir", str(tmp_path),
@@ -94,6 +98,7 @@ def test_run_ga_progressive_fixed_mask_cli(tmp_path, target_png):
     assert (tmp_path / "ga_splats.png").exists()
 
 
+@pytest.mark.slow
 def test_run_sa_cli_with_metric(tmp_path, target_png):
     _run("run_sa.py", [
         "--image", target_png, "--output-dir", str(tmp_path),
@@ -103,6 +108,7 @@ def test_run_sa_cli_with_metric(tmp_path, target_png):
     assert (tmp_path / "sa_splats.png").exists()
 
 
+@pytest.mark.slow
 def test_run_grad_cli(tmp_path, target_png):
     _run("run_grad.py", [
         "--image", target_png, "--output-dir", str(tmp_path),
@@ -117,6 +123,7 @@ def test_run_grad_cli(tmp_path, target_png):
     assert (tmp_path / "grad_genome.npy").exists()
 
 
+@pytest.mark.slow
 def test_run_pipeline_cli(tmp_path, target_png):
     r = subprocess.run(
         [sys.executable, os.path.join(_REPO, "runners", "run_pipeline.py"),

@@ -6,6 +6,7 @@ import numpy as np
 from ggs_tpu.config import GenomeConfig, SAConfig
 from ggs_tpu.models import genome, sa
 from ggs_tpu.ops import codec, objective, oracle
+import pytest
 
 H = W = 20
 GNM = GenomeConfig(n_splats=6, min_scale=1.0, max_scale=0.3)
@@ -17,6 +18,7 @@ def _target(key):
     return oracle.render_xla(codec.genome_to_renderer(g), H, W)
 
 
+@pytest.mark.slow
 def test_sa_batched_improves_and_best_monotone(key):
     target = _target(jax.random.PRNGKey(1001))
     cfg = SAConfig(iterations=30, tries_per_iter=4, t0=1e-3, proposal_mode="batched")

@@ -48,6 +48,7 @@ def test_sharded_evaluate_matches_single_device(key):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_ga_step_matches_single_device(key):
     """The same GA program partitioned over (pop=4, tile=2) must produce the
     single-device trajectory (GSPMD partitioning, not an algorithm change)."""
@@ -142,6 +143,7 @@ def test_fitness_pallas_partial_row_slabs_sum_to_full(key):
     )
 
 
+@pytest.mark.slow
 def test_tile_sharded_gradients_match_unsharded(key):
     """The tile-sharded differentiable loss (row-slab custom-VJP renders,
     loss psum over the tile axis) must produce the same value and splat
@@ -188,6 +190,7 @@ def test_tile_sharded_gradients_match_unsharded(key):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_tile_sharded_mix_gradients_match_unsharded(key):
     """The tile-sharded differentiable loss under metric="ssim"/"mix":
     row-slab custom-VJP renders + the ppermute halo exchange must be
@@ -252,6 +255,7 @@ def test_fused_sharded_with_chunked_eval(key):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_metric_sharded_matches_image_path(key):
     """The shard_map'd SSIM/mix path (row-slab renders + ppermute halo
     exchange + psum'd window partials, objective._evaluate_metric_sharded)

@@ -6,6 +6,7 @@ import numpy as np
 from ggs_tpu.config import GenomeConfig
 from ggs_tpu.models import genome
 from ggs_tpu.ops import codec, objective, oracle, ssim
+import pytest
 
 H = W = 32
 
@@ -48,6 +49,7 @@ def test_ssim_differentiable(key):
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_objective_metric_modes(key):
     gnm = GenomeConfig(n_splats=6, min_scale=1.0, max_scale=0.3)
     pop = genome.new_population(key, 3, 6, H, W, gnm.min_scale, gnm.max_scale)
