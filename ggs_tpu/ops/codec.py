@@ -139,6 +139,34 @@ def preprocess(g9: jnp.ndarray, H: int, W: int, k_sigma: float) -> SplatScreen:
     return SplatScreen(cx, cy, sxx, sxy, syy, rc, gc, bc, a, x0, x1, y0, y1)
 
 
+def tighten_boxes_exact(p: SplatScreen, k_sigma: float) -> SplatScreen:
+    """Deterministic tight k-sigma AABB: precision="exact-tight".
+
+    The reference's conservative hy = k(|l21|+|l22|) (modules/render.py:25)
+    is up to √2 taller than the ellipse's true y-extent k√(l21²+l22²).
+    This replaces both half-extents with the exact k-sigma ellipse bbox,
+    recovered from the precision entries (cov = Σ⁻¹ inverse: cov_xx =
+    syy/det, cov_yy = sxx/det) — NO ε term, NO alpha dependence, so the
+    truncation stays a pure k-sigma box (the same truncation CLASS the
+    reference accepts), just not over-padded. The tight box INTERSECTS
+    the preprocess box, so canvas clipping and the row-slab integer
+    y-shift (render_pallas.fitness_pallas_partial) are inherited exactly
+    (floor(x − n) = floor(x) − n for integer n).
+
+    This is the single home of the expression: the Pallas kernels and the
+    tight-box oracle (oracle.render_xla(box="tight")) both call it, which
+    is what makes precision="exact-tight" bit-exact vs its oracle.
+    """
+    det = p.sxx * p.syy - p.sxy * p.sxy
+    hx = jnp.maximum(k_sigma * jnp.sqrt(jnp.maximum(p.syy / det, 0.0)), 1.0)
+    hy = jnp.maximum(k_sigma * jnp.sqrt(jnp.maximum(p.sxx / det, 0.0)), 1.0)
+    x0 = jnp.maximum(p.x0, jnp.floor(p.cx - hx).astype(jnp.int32))
+    x1 = jnp.minimum(p.x1, jnp.ceil(p.cx + hx).astype(jnp.int32))
+    y0 = jnp.maximum(p.y0, jnp.floor(p.cy - hy).astype(jnp.int32))
+    y1 = jnp.minimum(p.y1, jnp.ceil(p.cy + hy).astype(jnp.int32))
+    return p._replace(x0=x0, x1=x1, y0=y0, y1=y1)
+
+
 def clamp_genome(
     genome: jnp.ndarray, H: int, W: int, min_scale: float, max_scale: float
 ) -> jnp.ndarray:

@@ -41,9 +41,13 @@ class Objective(NamedTuple):
     # "mse" (reference semantics) | "ssim" | "mix" (fused MSE/SSIM energy)
     metric: str = "mse"
     ssim_weight: float = 0.5
-    # "highest" = f32, oracle-exact; "fast" = exp2/threshold walk (~5e-5
-    # canvas error, +8% — render_pallas._splat_feats_turbo); "bf16" =
-    # tested mode, not faster (fused pallas paths only)
+    # "highest" = f32, oracle-exact (reference-pinned conservative AABB);
+    # "exact-tight" = the same exact f32 walk over the deterministic tight
+    # k-sigma box (codec.tighten_boxes_exact — bit-exact vs its own
+    # oracle.render_xla(box="tight"), no ε/tolerance argument, ~the ε→0
+    # end of the fast ladder); "fast" = exp2/threshold walk + ε-cull
+    # (~cull_eps canvas tolerance — render_pallas._splat_feats_turbo);
+    # "bf16" = tested mode, not faster (fused pallas paths only)
     precision: str = "highest"
     # fast-mode cull ε (render_pallas._tighten_boxes, DESIGN §8c): larger
     # trims more (tile, splat) pairs at a proportionally larger canvas
@@ -276,7 +280,11 @@ def _evaluate_metric_sharded(
             g9, H, W, y0, Hs,
             k_sigma=obj.k_sigma, background=tuple(obj.background),
             bin_capacity=obj.bin_capacity, interpret=obj.interpret,
-            precision=obj.precision if obj.precision == "fast" else "highest",
+            precision=(
+                obj.precision
+                if obj.precision in ("fast", "exact-tight")
+                else "highest"
+            ),
             cull_eps=obj.cull_eps,
         )
         return sharded_energy_rows(obj, imgs, tgt_rows, w_rows, y0, tile_ax)

@@ -49,7 +49,9 @@ def splat_weights(p: codec.SplatScreen, xf: jnp.ndarray, yf: jnp.ndarray) -> jnp
     return jnp.where(m, f, 0.0)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "k_sigma", "background", "remat_chunk"))
+@partial(
+    jax.jit, static_argnames=("H", "W", "k_sigma", "background", "remat_chunk", "box")
+)
 def render_xla(
     g9: jnp.ndarray,
     H: int,
@@ -57,8 +59,13 @@ def render_xla(
     k_sigma: float = 3.0,
     background: Sequence[float] = (1.0, 1.0, 1.0),
     remat_chunk: int = 64,
+    box: str = "reference",  # "reference" (conservative hy) | "tight"
 ) -> jnp.ndarray:
-    """Render renderer-format genomes [B, N, 9] (or [N, 9]) -> [B, H, W, 3] f32."""
+    """Render renderer-format genomes [B, N, 9] (or [N, 9]) -> [B, H, W, 3] f32.
+
+    box="tight" applies codec.tighten_boxes_exact — the ground truth for
+    the kernels' precision="exact-tight" tier (bit-exact by sharing the
+    one box expression; the walk itself is unchanged)."""
     squeeze = g9.ndim == 2
     if squeeze:
         g9 = g9[None]
@@ -71,6 +78,8 @@ def render_xla(
     g9 = _pad_noop_splats(g9, n_chunks * chunk - N)
 
     p = codec.preprocess(g9, H, W, k_sigma)  # fields [B, n_chunks*chunk]
+    if box == "tight":
+        p = codec.tighten_boxes_exact(p, k_sigma)
     # Scan layout: fields [n_chunks, chunk, B].
     p_scan = jax.tree.map(
         lambda t: jnp.transpose(t.reshape(B, n_chunks, chunk), (1, 2, 0)), p

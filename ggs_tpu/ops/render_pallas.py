@@ -1108,6 +1108,8 @@ def render_pallas(
     p = codec.preprocess(g9, H, W, k_sigma)
     if precision == "fast":
         p = _tighten_boxes(p, k_sigma, cull_eps)
+    elif precision == "exact-tight":
+        p = codec.tighten_boxes_exact(p, k_sigma)
     out, _ = _chunked_passes(
         p, H, W, tile_h, tile_w, tuple(float(c) for c in background),
         unroll, interpret, bin_capacity, keep_last=False, precision=precision,
@@ -1188,6 +1190,8 @@ def fitness_pallas(
     p = codec.preprocess(g9, H, W, k_sigma)
     if precision == "fast":
         p = _tighten_boxes(p, k_sigma, cull_eps)
+    elif precision == "exact-tight":
+        p = codec.tighten_boxes_exact(p, k_sigma)
     init_p, p_last = _chunked_passes(
         p, H, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
         keep_last=True, precision=precision, corner_eps=corner_eps,
@@ -1362,6 +1366,8 @@ def fitness_pallas_partial(
     )
     if precision == "fast":
         p = _tighten_boxes(p, k_sigma, cull_eps)  # intersection inherits the shift
+    elif precision == "exact-tight":
+        p = codec.tighten_boxes_exact(p, k_sigma)  # same shift inheritance
     bgt = tuple(float(c) for c in background)
     init_p, p_last = _chunked_passes(
         p, Hs, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
@@ -1412,6 +1418,8 @@ def render_rows_pallas(
     )
     if precision == "fast":
         p = _tighten_boxes(p, k_sigma, cull_eps)  # intersection inherits the shift
+    elif precision == "exact-tight":
+        p = codec.tighten_boxes_exact(p, k_sigma)  # same shift inheritance
     th = next((t for t in (64, 32, 16, 8) if out_rows % t == 0), None)
     tile_h = th if th is not None else tile_h
     out, _ = _chunked_passes(

@@ -55,7 +55,7 @@ def main(argv=None) -> None:
     )
     p.add_argument("--ssim-weight", type=float, default=0.5)
     p.add_argument(
-        "--precision", default="highest", choices=["highest", "fast", "bf16"],
+        "--precision", default="highest", choices=["highest", "exact-tight", "fast", "bf16"],
         help="GA-stage evaluation mode (the Adam polish always runs exact); "
         "fast is selection-equivalent and ~18%% faster (DESIGN §8c)",
     )

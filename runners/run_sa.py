@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--boost-only", action="store_true")
     p.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument(
-        "--precision", default="highest", choices=["highest", "fast", "bf16"],
+        "--precision", default="highest", choices=["highest", "exact-tight", "fast", "bf16"],
         help="fast: +8%% fused evaluation at ~5e-5 canvas error (exp2 walk)",
     )
     p.add_argument(

@@ -88,6 +88,7 @@ def test_render_dispatcher_pallas(key):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_passes_bitexact(monkeypatch, key):
     """Forcing the SMEM splat-chunking path (sequential passes chained
     through init_canvas) must reproduce the single-pass render bit-exactly:
@@ -117,6 +118,7 @@ def test_chunked_passes_bitexact(monkeypatch, key):
     rp.fitness_pallas.clear_cache()
 
 
+@pytest.mark.slow
 def test_odd_resolution_matches_oracle(key):
     """Non-tile-aligned canvases (H, W not multiples of the tile) render
     via padding + slice and must match the oracle (float tolerance on the
@@ -164,6 +166,7 @@ def test_adversarial_genomes_match_oracle(key):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_fuzz_random_configs_match_oracle():
     """Randomized shapes/populations through kernel-vs-oracle."""
     from ggs_tpu.ops import render_pallas as rp
@@ -185,6 +188,7 @@ def test_fuzz_random_configs_match_oracle():
         )
 
 
+@pytest.mark.slow
 def test_fast_mode_close_to_oracle(key):
     """precision="fast" (exp2/log2-alpha folding + open-interval threshold
     mask, _splat_feats_turbo, PLUS the epsilon-contribution tile cull —
@@ -210,6 +214,7 @@ def test_fast_mode_close_to_oracle(key):
     ).all()
 
 
+@pytest.mark.slow
 def test_fast_mode_cull_reduces_pairs(key):
     """The fast-mode tight-AABB cull (_tighten_boxes: r_eff-sigma extents
     instead of the conservative k*(|l21|+|l22|) bound) must (a) strictly
@@ -249,6 +254,7 @@ def test_fast_mode_cull_reduces_pairs(key):
     assert float(jnp.mean(jnp.abs(got - ref))) < 2e-4
 
 
+@pytest.mark.slow
 def test_cull_eps_parameter(key):
     """cull_eps as a first-class knob (DESIGN §8c): the parameter must
     override the DEFAULT_CULL_EPS module default everywhere it is threaded —
@@ -297,6 +303,65 @@ def test_cull_eps_parameter(key):
     e_small = objective_mod.evaluate(obj_small, g, tgt, None)
     e_big = objective_mod.evaluate(obj_big, g, tgt, None)
     assert not np.allclose(np.asarray(e_small), np.asarray(e_big))
+
+
+def test_exact_tight_bitexact_vs_tight_oracle(key):
+    """precision="exact-tight" (deterministic tight k-sigma box, no ε, no
+    tolerance argument — codec.tighten_boxes_exact) must be BIT-EXACT vs
+    the tight-box oracle (oracle.render_xla(box="tight")): same walk
+    expression as the bit-exact "highest" tier, same box expression by
+    construction (one shared function). CPU interpret mode only reaches
+    float tolerance (like test_pallas_matches_oracle); the on-chip
+    bit-exactness is pinned in test_tpu_exactness."""
+    from ggs_tpu.ops import render_pallas as rp
+
+    H, W = 40, 200
+    g9 = _genomes(key, 3, 24, H, W, max_scale=0.15)  # small: tight box binds
+    ref = oracle.render_xla(g9, H, W, box="tight")
+    got = render_pallas(
+        g9, H, W, tile_h=16, interpret=True, precision="exact-tight"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    # the tier is exercised: tight truncation differs from the
+    # conservative-box render (k-sigma tail strip), both only slightly
+    ref_cons = oracle.render_xla(g9, H, W)
+    d = float(jnp.max(jnp.abs(ref - ref_cons)))
+    assert 0.0 < d < 2e-2, d
+    # fused fitness: equals the image-path fitness on tight-box renders
+    tgt = jax.random.uniform(jax.random.PRNGKey(5), (H, W, 3), jnp.float32)
+    f_img = jnp.mean((ref - tgt[None]) ** 2, axis=(1, 2, 3))
+    f_fused = rp.fitness_pallas(
+        g9, tgt, None, H, W, tile_h=16, interpret=True, precision="exact-tight"
+    )
+    np.testing.assert_allclose(np.asarray(f_fused), np.asarray(f_img), rtol=5e-5)
+    # cull_eps is a fast-mode knob: exact-tight must ignore it entirely
+    got2 = render_pallas(
+        g9, H, W, tile_h=16, interpret=True, precision="exact-tight",
+        cull_eps=1e-1,
+    )
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(got))
+
+
+def test_exact_tight_pair_counts_between_fast_and_conservative(key):
+    """The exact-tight box sits between the reference-conservative box and
+    the fast ε-box: pairs(fast, any ε) <= pairs(exact-tight) <=
+    pairs(conservative), strictly fewer than conservative on anisotropic
+    populations (where the √2-over-tall hy bound actually binds)."""
+    from ggs_tpu.ops import codec as codec_mod
+    from ggs_tpu.ops import render_pallas as rp
+
+    H, W = 256, 256
+    g9 = _genomes(key, 4, 96, H, W, max_scale=0.4)
+    p = codec_mod.preprocess(g9, H, W, 3.0)
+    pt = codec_mod.tighten_boxes_exact(p, 3.0)
+    pf = rp._tighten_boxes(p, 3.0, cull_eps=2e-3)
+    n_tx, n_ty = rp._cdiv(W, 128), rp._cdiv(H, 32)
+    count = lambda q: int(  # noqa: E731
+        jnp.sum(
+            rp._bin_splats_dense(q.x0, q.x1, q.y0, q.y1, n_tx, n_ty, 32, 128, 96)[1]
+        )
+    )
+    assert count(pf) <= count(pt) < count(p)
 
 
 def test_corner_keep_matches_bruteforce(key):
@@ -351,6 +416,7 @@ def test_corner_keep_matches_bruteforce(key):
     assert n_overlap > 0
 
 
+@pytest.mark.slow
 def test_corner_cull_within_tolerance(key):
     """corner_cull=True (fitness_pallas prep path, render_pallas p path,
     Objective threading) must stay inside the fast mode's ε tolerance
@@ -411,6 +477,7 @@ def test_corner_cull_within_tolerance(key):
     np.testing.assert_allclose(np.asarray(e_corner), np.asarray(e_box), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_fast_mode_zero_alpha_and_sentinel(key):
     """alpha = 0 splats must contribute exactly nothing in fast mode
     (log2(alpha) = -inf => exp2 = 0, and the cull drops them from the
@@ -521,6 +588,7 @@ def test_scatter_binning_two_level(key):
             np.testing.assert_array_equal(si[b, t, :c], di[b, t, :c])
 
 
+@pytest.mark.slow
 def test_scatter_binning_capacity_overflow_falls_back(key):
     """When the SMEM budget caps the per-tile list below the requested
     capacity (cap_s < cap) AND a tile actually holds more splats than
