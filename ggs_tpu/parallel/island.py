@@ -30,27 +30,30 @@ from ..ops.objective import Objective
 from . import shard as shard_mod
 
 
-def _island_tournament(key, fits: jnp.ndarray, n_islands: int, k: int) -> jnp.ndarray:
-    """Per-island k-way tournaments: row r draws entrants only from its own
-    island. Returns global winner indices [P]."""
-    P = fits.shape[0]
-    S = P // n_islands
-    base = (jnp.arange(P) // S) * S  # island offset per output row
-    idx = base[:, None] + jax.random.randint(key, (P, k), 0, S)
-    cand = fits[idx]
-    win = jnp.argmin(cand, axis=1)
-    return jnp.take_along_axis(idx, win[:, None], axis=1)[:, 0]
+def _island_tournament(key, fits_i: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Per-island k-way tournaments on [I, S] fitness: LOCAL winner indices
+    [I, S] in [0, S).
+
+    Deliberately batched over a leading island axis with S-bounded indices
+    (take_along_axis on axis 1), NOT global-index arithmetic over [P]: the
+    GSPMD partitioner proves batched gathers local to each pop shard,
+    whereas `fits[base + local]` over the sharded [P] axis compiled to a
+    per-generation all-gather — measured in benchmarks/island_ab.py, which
+    is this layer's whole reason to exist (module docstring)."""
+    I, S = fits_i.shape
+    idx = jax.random.randint(key, (I, S, k), 0, S)
+    cand = jnp.take_along_axis(fits_i, idx.reshape(I, S * k), axis=1).reshape(I, S, k)
+    win = jnp.argmin(cand, axis=-1)
+    return jnp.take_along_axis(idx, win[..., None], axis=2)[..., 0]
 
 
-def _island_shuffle(key, x: jnp.ndarray, n_islands: int) -> jnp.ndarray:
-    """Shuffle rows independently within each island (stable block layout)."""
-    P = x.shape[0]
-    S = P // n_islands
-    u = jax.random.uniform(key, (P,))
-    # sort by (island, u): rows stay in their island block, order randomized
-    keys_sort = (jnp.arange(P) // S).astype(jnp.float32) * 2.0 + u
-    order = jnp.argsort(keys_sort)
-    return x[order]
+def _island_shuffle(key, x_i: jnp.ndarray) -> jnp.ndarray:
+    """Shuffle [I, S, N, 9] rows independently within each island (argsort
+    of uniforms — shard-local for the same reason as _island_tournament)."""
+    I, S = x_i.shape[:2]
+    u = jax.random.uniform(key, (I, S))
+    order = jnp.argsort(u, axis=1)
+    return jnp.take_along_axis(x_i, order[:, :, None, None], axis=1)
 
 
 def step(
@@ -69,22 +72,29 @@ def step(
 ) -> Tuple[GAState, jnp.ndarray]:
     """One island-GA generation over the global [P, N, 9] array."""
     P, N, _ = state.pop.shape
-    S = P // n_islands
+    I = n_islands
+    S = P // I
     E = max(1, min(ga.elite_k, S - 1))
     key, k_sel, k_shuf, k_cx, k_cxm, k_mut, k_mig = jax.random.split(state.key, 7)
     gen = state.gen + 1
 
-    sel = _island_tournament(k_sel, state.fits, n_islands, ga.tour_k)
-    parents = _island_shuffle(k_shuf, state.pop[sel], n_islands)
+    # Everything deme-local runs on [I, S]-shaped arrays with S-bounded
+    # indices (see _island_tournament: this is what keeps GSPMD from
+    # inserting per-generation all-gathers on the pop axis).
+    pop_i = state.pop.reshape(I, S, N, 9)
+    fits_i = state.fits.reshape(I, S)
+    sel = _island_tournament(k_sel, fits_i, ga.tour_k)  # [I, S] local
+    parents = jnp.take_along_axis(pop_i, sel[:, :, None, None], axis=1)
+    parents = _island_shuffle(k_shuf, parents)
 
-    a = parents[0::2]
-    b = parents[1::2]
-    do_cx = jax.random.uniform(k_cx, (P // 2, 1, 1)) < ga.cxpb
-    m = jax.random.uniform(k_cxm, (P // 2, N, 1)) < 0.5
+    a = parents[:, 0::2]  # [I, S//2, N, 9] — pairs stay within their deme
+    b = parents[:, 1::2]
+    do_cx = jax.random.uniform(k_cx, (I, S // 2, 1, 1)) < ga.cxpb
+    m = jax.random.uniform(k_cxm, (I, S // 2, N, 1)) < 0.5
     m_eff = m | ~do_cx
     c1 = jnp.where(m_eff, a, b)
     c2 = jnp.where(m_eff, b, a)
-    offspring = jnp.stack([c1, c2], axis=1).reshape(P, N, 9)
+    offspring = jnp.stack([c1, c2], axis=2).reshape(P, N, 9)
 
     sig = genome_mod.build_mut_sigma(gen, ga.generations, ga.schedule, sig_max, sig_min)
     offspring = operators.mutate_population(
@@ -92,9 +102,7 @@ def step(
     )
     off_fits = objective_mod.evaluate(obj, offspring, target, weight_mask)
 
-    # Per-island elitism
-    fits_i = state.fits.reshape(n_islands, S)
-    pop_i = state.pop.reshape(n_islands, S, N, 9)
+    # Per-island elitism (pop_i/fits_i from the selection block above)
     _, elite_idx = jax.lax.top_k(-fits_i, E)  # [I, E]
     elites = jnp.take_along_axis(pop_i, elite_idx[:, :, None, None], axis=1)
     elite_fits = jnp.take_along_axis(fits_i, elite_idx, axis=1)
@@ -166,6 +174,15 @@ def make_run_block(
     sig_min: Optional[MutSigma] = None,
 ):
     """Jitted (state, target, weight_mask, num_gens) -> (state, metrics)."""
+    if ga.pop_size % n_islands:
+        raise ValueError(
+            f"pop_size {ga.pop_size} must divide into n_islands {n_islands}"
+        )
+    if n_islands > 1 and (ga.pop_size // n_islands) % 2:
+        raise ValueError(
+            "island demes need an even size for within-deme pairing: "
+            f"pop_size {ga.pop_size} / n_islands {n_islands} is odd"
+        )
     sig_max_d = (sig_max or MutSigma.max_defaults()).__dict__
     sig_min_d = (sig_min or MutSigma.min_defaults()).__dict__
 

@@ -9,6 +9,7 @@ from ggs_tpu.ops import codec, objective, oracle
 from ggs_tpu.parallel import island, mesh as mesh_mod, shard
 
 from conftest import cpu_devices
+import pytest
 
 H = W = 16
 GNM = GenomeConfig(n_splats=6, min_scale=1.0, max_scale=0.3)
@@ -21,21 +22,23 @@ def _target(key):
 
 
 def test_island_tournament_stays_local(key):
-    fits = jnp.concatenate([jnp.full((4,), 10.0), jnp.zeros((4,))])
-    sel = island._island_tournament(key, fits, n_islands=2, k=3)
+    """[I, S]-batched tournaments return LOCAL (S-bounded) indices, and
+    each island's draws are independent (round-4 rewrite: S-bounded
+    batched gathers are what GSPMD keeps shard-local — island.py)."""
+    fits_i = jnp.stack([jnp.full((4,), 10.0), jnp.zeros((4,))])  # [2, 4]
+    sel = island._island_tournament(key, fits_i, k=3)
     s = np.asarray(sel)
-    # rows 0..3 must select from island 0 (indices 0..3), rows 4..7 from island 1
-    assert s[:4].max() < 4
-    assert s[4:].min() >= 4
+    assert s.shape == (2, 4)
+    assert s.min() >= 0 and s.max() < 4
 
 
 def test_island_shuffle_preserves_blocks(key):
-    x = jnp.arange(12)[:, None] * jnp.ones((12, 2))
-    out = island._island_shuffle(key, x, n_islands=3)
-    o = np.asarray(out[:, 0]).astype(int)
-    assert set(o[:4]) == {0, 1, 2, 3}
-    assert set(o[4:8]) == {4, 5, 6, 7}
-    assert set(o[8:]) == {8, 9, 10, 11}
+    x_i = (jnp.arange(12)[:, None] * jnp.ones((12, 2))).reshape(3, 4, 2, 1)
+    out = island._island_shuffle(key, x_i)
+    o = np.asarray(out[:, :, 0, 0]).astype(int)
+    assert set(o[0]) == {0, 1, 2, 3}
+    assert set(o[1]) == {4, 5, 6, 7}
+    assert set(o[2]) == {8, 9, 10, 11}
 
 
 def test_migrate_roll_moves_best(key):
@@ -51,6 +54,7 @@ def test_migrate_roll_moves_best(key):
     assert 0.1 in nf[:4] and 0.2 in nf[4:]
 
 
+@pytest.mark.slow
 def test_island_ga_improves_and_monotone(key):
     target = _target(jax.random.PRNGKey(6001))
     cfg = GAConfig(pop_size=16, generations=40, elite_k=2, cxpb=0.3, mutpb=0.2)
@@ -63,6 +67,7 @@ def test_island_ga_improves_and_monotone(key):
     assert m[-1, 0] < b0
 
 
+@pytest.mark.slow
 def test_single_island_matches_plain_ga(key):
     """n_islands=1, no migration: identical trajectory to models/ga.step."""
     target = _target(jax.random.PRNGKey(6002))
@@ -84,6 +89,7 @@ def test_single_island_matches_plain_ga(key):
     assert np.all(np.diff(np.asarray(m_b)[:, 0]) <= 1e-9)
 
 
+@pytest.mark.slow
 def test_island_ga_sharded_runs(key):
     """Island GA over a real (pop=4, tile=2) device mesh."""
     m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
@@ -101,6 +107,7 @@ def test_island_ga_sharded_runs(key):
     assert np.all(np.diff(np.asarray(metrics)[:, 0]) <= 1e-9)
 
 
+@pytest.mark.slow
 def test_island_block_with_fused_sharded_evaluate(key):
     """The island run block must compose with the shard_map'd fused
     fitness (mesh + impl=pallas): per-island selection over fused-path
