@@ -140,6 +140,20 @@ def main() -> None:
 
     # ---- GA: equal generations, then equal wall-clock ----
     if "ga" in arms or "ga-time" in arms:
+        # Warmup: compile both arms' run blocks AND absorb the axon
+        # tunnel's first-execution wake-up BEFORE any timed wall —
+        # equal-time budgets are computed from realized walls, so a
+        # compile-contaminated exact arm would hand the fast arm a
+        # bogus generation budget (seen in the protocol smoke: 245 s
+        # for the first 1k-gen block vs 5 s steady-state).
+        for obj in (obj_exact, obj_fast):
+            ga.genetic_approx(
+                targets[families[0]], H, W, obj=obj,
+                ga=GAConfig(pop_size=32, generations=_BLOCK),
+                gnm=gnm, mask_cfg=mask_cfg, seed=0, log_every=_BLOCK,
+                progress=False,
+            )
+        print("[quality] GA warmup done", file=sys.stderr, flush=True)
         for family in families:
             ex_finals, ex_wall = run_ga_arm(family, obj_exact, gens)
             ga_row(family, "ga", "exact", ex_finals, gens, ex_wall)
@@ -170,13 +184,25 @@ def main() -> None:
             for e in args.adam_eps
         ]
         block = 100
+        # Build + warm each arm's run block ONCE (make_run_block returns a
+        # fresh jitted closure — per-family rebuilds would recompile), and
+        # one exact scorer shared by every family (target is an argument).
+        exact_loss = gradient.make_loss_fn(obj_exact, ggnm)
+        score = jax.jit(lambda g, t: exact_loss(g, t, None)[1])
+        runs = {}
+        warm_t = io_mod.ensure_hw(jnp.asarray(targets[families[0]]), H, W)
+        for name, obj in adam_arms:
+            opt, _ = gradient.make_fit_step(obj, ggnm, gcfg)
+            run = gradient.make_run_block(obj, ggnm, gcfg)
+            g0 = genome.new_population(jax.random.PRNGKey(0), 1, N, H, W)
+            st, m = run(gradient.init_state(opt, g0), warm_t, None, block)
+            float(jnp.asarray(m).sum())  # sync the warmup (axon async)
+            runs[name] = (opt, run)
+        print("[quality] Adam warmup done", file=sys.stderr, flush=True)
         for family in families:
             tgt = io_mod.ensure_hw(jnp.asarray(targets[family]), H, W)
-            exact_loss = gradient.make_loss_fn(obj_exact, ggnm)
-            score = jax.jit(lambda g: exact_loss(g, tgt, None)[1])
             for name, obj in adam_arms:
-                opt, _ = gradient.make_fit_step(obj, ggnm, gcfg)
-                run = gradient.make_run_block(obj, ggnm, gcfg)
+                opt, run = runs[name]
                 finals = []
                 t0 = time.perf_counter()
                 for seed in seeds:
@@ -186,7 +212,7 @@ def main() -> None:
                     while done < adam_steps:
                         state, m = run(state, tgt, None, block)
                         done += block
-                    finals.append(round(float(score(state.g)[0]), 6))
+                    finals.append(round(float(score(state.g, tgt)[0]), 6))
                 wall = time.perf_counter() - t0
                 mean = sum(finals) / len(finals)
                 emit({
