@@ -30,6 +30,7 @@ def _on_tpu(fn, *args):
         return fn(*args)
 
 
+@pytest.mark.slow
 def test_compiled_render_bitexact_vs_oracle(key):
     H, W = 96, 160
     g = genome.new_population(key, 2, 24, H, W, 1.0, 0.4)
@@ -37,6 +38,27 @@ def test_compiled_render_bitexact_vs_oracle(key):
     got = _on_tpu(lambda g: rp.render_pallas(g, H, W), g9)
     ref = _on_tpu(lambda g: oracle.render_xla(g, H, W), g9)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_compiled_exact_tight_bitexact_vs_tight_oracle(key):
+    """precision="exact-tight" COMPILED: bit-exact vs the tight-box oracle
+    (codec.tighten_boxes_exact is the one shared box expression), and the
+    corner-cull flag must remain a no-op outside fast mode."""
+    H, W = 96, 160
+    g = genome.new_population(key, 2, 24, H, W, 1.0, 0.15)
+    g9 = codec.genome_to_renderer(g)
+    got = _on_tpu(
+        lambda g: rp.render_pallas(g, H, W, precision="exact-tight"), g9
+    )
+    ref = _on_tpu(lambda g: oracle.render_xla(g, H, W, box="tight"), g9)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    got2 = _on_tpu(
+        lambda g: rp.render_pallas(
+            g, H, W, precision="exact-tight", corner_cull=True
+        ),
+        g9,
+    )
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(got))
 
 
 def test_compiled_chunked_passes_bitexact(monkeypatch, key):
@@ -51,6 +73,7 @@ def test_compiled_chunked_passes_bitexact(monkeypatch, key):
     np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one))
 
 
+@pytest.mark.slow
 def test_compiled_fused_fitness_matches_image_path(key):
     H = W = 64
     g = genome.new_population(key, 4, 16, H, W, 1.0, 0.4)
@@ -64,6 +87,7 @@ def test_compiled_fused_fitness_matches_image_path(key):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=5e-6)
 
 
+@pytest.mark.slow
 def test_ssim_bounded_on_tpu(key):
     """Regression: the TPU conv defaults to bf16 multiplies, whose error
     once flipped the SSIM variance denominator's sign (optimizers then
@@ -83,6 +107,7 @@ def test_ssim_bounded_on_tpu(key):
     assert s[0] > 0.999  # self-similarity
 
 
+@pytest.mark.slow
 def test_compiled_fast_mode_close_and_ranking_stable(key):
     """precision="fast" COMPILED (exp2 folding + Pallas prep kernel + the
     epsilon-contribution tile cull): stays within the documented tail-strip
@@ -153,6 +178,7 @@ def test_compiled_cull_eps_override(key):
     assert gap.max() < 1.5e-2, gap.max()
 
 
+@pytest.mark.slow
 def test_compiled_scatter_binning_bitexact_render(key):
     """Above 256 tiles the pair-scatter binning engages; the compiled
     render must be bit-identical to one produced from dense lists."""
@@ -186,6 +212,49 @@ def test_compiled_scatter_binning_bitexact_render(key):
     assert np.isfinite(np.asarray(auto)).all()
 
 
+@pytest.mark.slow
+def test_aot_flagship_shapes_on_device():
+    """AOT Mosaic compile of the FLAGSHIP per-device shapes (BASELINE.json
+    multi-host config pop=4096, 10k splats, 1024² on a (pop=4, tile=2)
+    mesh => per-device B=1024, 512-row slab, two 5k-splat SMEM chunks)
+    on the attached chip — no execution, .lower().compile() only. The
+    CPU-mesh twin (tests/test_flagship_aot.py) compiles the full GSPMD
+    programs but cannot exercise Mosaic's SMEM/layout limits (interpret
+    mode enforces neither — CLAUDE.md); this is the half that catches a
+    flagship-scale kernel blowup before hardware ever arrives."""
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops import objective as objective_mod
+    from ggs_tpu.ops import render_pallas as rp
+
+    B_loc, N, H, W, Hs = 1024, 10_000, 1024, 1024, 512
+    with jax.default_device(_TPUS[0]):
+        # one device's slab of the fused sharded fitness
+        lowered = jax.jit(
+            lambda g9, t, w, y0: rp.fitness_pallas_partial(
+                g9, t, w, H, W, y0
+            )
+        ).lower(
+            jax.ShapeDtypeStruct((B_loc, N, 9), jnp.float32),
+            jax.ShapeDtypeStruct((Hs, W, 3), jnp.float32),
+            jax.ShapeDtypeStruct((Hs, W), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        )
+        lowered.compile()
+
+        # one device's slab of the sharded Adam loss (chunk-chained
+        # custom-VJP render of 512 rows) + the unsharded fused loss+grad
+        # at the same 10k-splat genome
+        obj = objective_mod.Objective(H=H, W=W, impl="pallas")
+        gnm = GenomeConfig(n_splats=N)
+        vg = gradient.make_value_and_grad(obj, gnm)
+        jax.jit(lambda g, t: vg(g, t, None)).lower(
+            jax.ShapeDtypeStruct((1, N, 9), jnp.float32),
+            jax.ShapeDtypeStruct((H, W, 3), jnp.float32),
+        ).compile()
+
+
+@pytest.mark.slow
 def test_compiled_sharded_paths_on_device(key):
     """The GSPMD-sharded evaluator/loss/metric COMPILED on a real device
     mesh (1 chip: pop=1 x tile=1). The CPU suite runs these shard_map'd
@@ -244,6 +313,7 @@ def test_compiled_sharded_paths_on_device(key):
         )
 
 
+@pytest.mark.slow
 def test_compiled_fused_loss_grad_batched(key):
     """The fused single-kernel loss+grad must COMPILE and match the plain
     VJP at B>1 (a (1,1)-block-over-(B,1) Mosaic constraint once compiled
