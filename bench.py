@@ -223,6 +223,10 @@ def main() -> None:
     }
     if precision == "fast":
         record["cull_eps"] = cull_eps
+        # round 4: the rect-min corner cull (DESIGN §8c re-land) is the
+        # fast-mode Objective default; recorded so round-over-round fast
+        # numbers are compared with the right semantics
+        record["corner_cull"] = bool(obj.corner_cull)
     if fast_default_renders_per_s is not None:
         record["fast_default_eps_renders_per_s"] = round(
             fast_default_renders_per_s, 2

@@ -61,6 +61,7 @@ def bench_render(quick: bool):
     # GA-A/B-validated selection-safe cull (DESIGN §8c ladder).
     variants = [
         ("highest", None, "render-512-highest"),
+        ("exact-tight", None, "render-512-exact-tight"),
         ("fast", None, "render-512-fast"),
         ("fast", 8e-2, "render-512-fast-eps8e-2"),
         ("bf16", None, "render-512-bf16"),
@@ -68,7 +69,8 @@ def bench_render(quick: bool):
     for prec, eps, label in variants:
         f = jax.jit(
             lambda g, p=prec, e=eps: fitness_pallas(
-                g, tgt, wm, H, W, precision=p, cull_eps=e
+                g, tgt, wm, H, W, precision=p, cull_eps=e,
+                corner_cull=(p == "fast"),
             )
         )
         # >= 50 iters: one ~25 ms readback amortizes (DESIGN.md 8b)

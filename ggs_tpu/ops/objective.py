@@ -60,8 +60,12 @@ class Objective(NamedTuple):
     # drops AABB-overlapping (tile, splat) pairs whose peak contribution
     # on the shared pixel rect stays under cull_eps (ellipse-corner
     # tiles) — same ε-tolerance class as the tight box. Dense-binning
-    # canvases only (< 256 tiles); opt-in pending the round-4 A/B.
-    corner_cull: bool = False
+    # canvases only (< 256 tiles); forward fused path only (the
+    # gradient's polish surface stays box-culled, DESIGN §8d). Default
+    # ON since round 4: +7.1% renders/s at ε=8e-2 (benchmarks/corner_ab:
+    # 10,120 -> 10,841), max fitness shift 1.4e-4 — inside the ε class
+    # the fast contract already grants.
+    corner_cull: bool = True
     # Pallas interpret mode (CPU tests of the fused paths)
     interpret: bool = False
 
