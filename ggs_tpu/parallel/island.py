@@ -4,14 +4,24 @@ The GSPMD path (parallel/shard.py) partitions the exact single-chip GA —
 global tournament selection costs an all-gather of the parent genomes every
 generation. The island model removes that: the population is split into
 `n_islands` independent demes (one per pop shard), selection/crossover/
-elitism stay within a deme — expressed on the global [P, N, 9] array as
-block-local index arithmetic, so GSPMD compiles them with NO cross-shard
-communication — and every `migrate_every` generations each deme's k best
-individuals ride a ring permute to the next deme (shard.migrate_ring),
-replacing its k worst. This is the classic distributed-GA topology and the
-cheap-collective design SURVEY.md §2.4 calls for.
+elitism stay within a deme — batched over a leading [I, S] island axis
+with S-bounded indices, which GSPMD compiles with NO cross-shard
+communication (global-index arithmetic over the sharded [P] axis did NOT
+stay local: it compiled a per-generation all-gather — see
+benchmarks/island_ab.py) — and every `migrate_every` generations each
+deme's k best individuals ride a ring permute to the next deme
+(shard.migrate_ring), replacing its k worst. This is the classic
+distributed-GA topology and the cheap-collective design SURVEY.md §2.4
+calls for.
 
 With n_islands == 1 the step reduces exactly to models/ga.step.
+
+Measured (island_ab.py on the 8-virtual-device mesh, RESULTS_v5e.md):
+fewer collectives per compiled block (AG 9→8, AR 5→4, CP 6→2) and +13.5%
+gens/s — but +23% equal-budget MSE at pop 64 / 16-candidate demes.
+Global GSPMD selection stays the recommended default; use islands only
+when per-generation cross-host gathers dominate (DCN meshes) AND demes
+stay large (≥64).
 """
 from __future__ import annotations
 

@@ -57,7 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-chunk", type=int, default=0, help="0 = whole population at once")
     p.add_argument("--pop-shards", type=int, default=1, help="mesh pop-axis size")
     p.add_argument("--tile-shards", type=int, default=1, help="mesh tile-axis size")
-    p.add_argument("--islands", type=int, default=1, help=">1: island-model GA")
+    p.add_argument(
+        "--islands", type=int, default=1,
+        help=">1: island-model GA (deme-local selection + ring migration). "
+        "Situational: fewer per-generation collectives but measured +23%% "
+        "equal-budget MSE at 16-candidate demes — keep demes >= 64 "
+        "(benchmarks/island_ab.py, RESULTS_v5e.md)",
+    )
     p.add_argument("--migrate-every", type=int, default=0)
     p.add_argument("--migrate-k", type=int, default=1)
     p.add_argument("--profile-dir", default="", help="capture a jax.profiler trace here")
