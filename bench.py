@@ -77,7 +77,12 @@ def main() -> None:
     H = _env_int("GGS_BENCH_H", 512)
     W = _env_int("GGS_BENCH_W", 512)
     N = _env_int("GGS_BENCH_N", 512)
-    B = _env_int("GGS_BENCH_B", 256)
+    # B=512: the metric (BASELINE.md: candidate renders/s/chip at 512²)
+    # has no batch term — candidate evaluation is batched in every real
+    # consumer (GA populations, SA proposal batches), and the sweep
+    # 256/512/1024 measured 10,896 / 11,010 / 11,042 r/s (saturating at
+    # 512; round 4). Recorded in the JSON so rounds compare like-for-like.
+    B = _env_int("GGS_BENCH_B", 512)
     # 50+ iters with ONE final sync: the axon tunnel's value readback costs
     # ~25 ms regardless of work, so short runs understate device throughput
     # by ~8% (measured; docs/DESIGN.md §2 round-2 notes).
@@ -218,6 +223,7 @@ def main() -> None:
         # the 10k target is specified for v5p (BASELINE.md); this
         # records what the attached chip actually is
         "hardware": str(jax.devices()[0].device_kind),
+        "batch": B,
         "precision": precision,
         "exact_renders_per_s": round(exact_renders_per_s, 2),
     }
