@@ -141,11 +141,17 @@ def main() -> None:
     # Conservative-ε fast mode (the pre-round-3 "fast" semantics, ~5e-5
     # canvas error) — kept for round-over-round comparability.
     fast_default_renders_per_s = None
+    exact_tight_renders_per_s = None
     if precision == "fast" and obj.cull_eps is not None:
         from ggs_tpu.ops import render_pallas as _rp
 
         if float(obj.cull_eps) != _rp.DEFAULT_CULL_EPS:
             fast_default_renders_per_s = (B * iters) / timed(obj_fast_default)
+        # The deterministic exact-tight tier (DESIGN §8e): tracked beside
+        # exact so the no-tolerance-argument option stays visible too.
+        exact_tight_renders_per_s = (B * iters) / timed(
+            objective.Objective(H=H, W=W, impl=impl, precision="exact-tight")
+        )
     print(
         f"[bench] impl={impl} backend={jax.default_backend()} "
         f"B={B} N={N} {H}x{W} iters={iters} time={dt:.3f}s",
@@ -237,6 +243,8 @@ def main() -> None:
         record["fast_default_eps_renders_per_s"] = round(
             fast_default_renders_per_s, 2
         )
+    if exact_tight_renders_per_s is not None:
+        record["exact_tight_renders_per_s"] = round(exact_tight_renders_per_s, 2)
     if grad_steps_per_s is not None:
         record[f"grad_adam_steps_per_s_{H}x{W}_{Ng}splats"] = round(grad_steps_per_s, 2)
     if grad_fast_steps_per_s is not None:

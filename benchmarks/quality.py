@@ -18,6 +18,9 @@ Arms, per family (all rescored on the EXACT energy, fixed seeds):
               the equal-gens fast arm).
   adam        Adam polish from random init (grad-2k protocol): exact vs
               fast @ each --adam-eps (selection ε ≠ polish ε — §8d).
+  pipeline    the SHIPPED two-stage recipe (run_pipeline: grow-auto GA +
+              Adam polish) at a reduced budget, exact vs fast GA stage,
+              rescored from the saved genome. Opt-in (--arms pipeline).
 
 One process for everything (axon tunnel hygiene — CLAUDE.md); every row
 is one JSON line, also written to --out as a list for diffing.
@@ -57,7 +60,17 @@ def main() -> None:
     ap.add_argument("--adam-eps", type=float, nargs="+", default=[2e-3, 1e-2],
                     help="gradient-polish ε arms (quality-neutral band, §8d)")
     ap.add_argument("--arms", default="ga,ga-time,adam",
-                    help="comma subset of ga,ga-time,adam")
+                    help="comma subset of ga,ga-time,adam,pipeline "
+                    "(pipeline is opt-in: ~3-5 min/seed/arm on the v5e)")
+    ap.add_argument("--pipeline-gens", type=int, default=20000,
+                    help="pipeline-arm GA budget (reduced vs the 100k "
+                    "flagship recipe; same two-stage structure)")
+    ap.add_argument("--pipeline-adam-steps", type=int, default=400)
+    ap.add_argument("--pipeline-n-splats", type=int, default=512)
+    ap.add_argument("--pipeline-families", default="gradient,portrait",
+                    help="pipeline-arm families (gradient = the family "
+                    "where equal-wall fast GA was weakest; portrait = "
+                    "natural-image statistics)")
     ap.add_argument("--impl", default="pallas",
                     help="renderer impl (xla: CPU protocol smoke-testing)")
     ap.add_argument("--size", type=int, default=512,
@@ -224,6 +237,64 @@ def main() -> None:
                     "exact_final_mse": {
                         str(s): v for s, v in zip(seeds, finals)
                     },
+                    "mean": round(mean, 6),
+                    "psnr_db": _psnr(mean),
+                })
+
+    # ---- pipeline: the SHIPPED two-stage recipe (grow-auto GA + Adam
+    # polish) through the real run_pipeline entry, in-process so the jit
+    # caches carry across seeds/arms (12 fresh compile-heavy processes is
+    # exactly the axon-tunnel degradation pattern — CLAUDE.md). Reduced
+    # budget vs the 100k-gen flagship recipe; rescored on the exact
+    # energy from the saved genome, so the row is parse-free.
+    if "pipeline" in arms:
+        import shutil
+        import tempfile
+
+        import numpy as np
+
+        from runners import run_pipeline
+
+        pipe_fams = [f for f in args.pipeline_families.split(",") if f]
+        pipe_fams = [f for f in pipe_fams if f in targets] or families
+        pipe_arms = [
+            ("exact", []),
+            (f"fast-eps{args.cull_eps:g}",
+             ["--precision", "fast", "--cull-eps", str(args.cull_eps)]),
+        ]
+        for family in pipe_fams:
+            tgt = io_mod.ensure_hw(jnp.asarray(targets[family]), H, W)
+            for label, extra in pipe_arms:
+                finals = {}
+                t0 = time.perf_counter()
+                for seed in seeds:
+                    outdir = tempfile.mkdtemp(prefix=f"qpipe-{family}-")
+                    try:
+                        run_pipeline.main([
+                            "--image", f"{family}:{H}x{W}",
+                            "--output-dir", outdir,
+                            "--n-splats", str(args.pipeline_n_splats),
+                            "--ga-generations", str(args.pipeline_gens),
+                            "--adam-steps", str(args.pipeline_adam_steps),
+                            "--seed", str(seed), "--no-video",
+                        ] + extra)
+                        g = jnp.asarray(
+                            np.load(os.path.join(outdir, "grad_genome.npy"))
+                        )
+                        f = objective.evaluate(obj_exact, g[None], tgt, wms[family])
+                        finals[str(seed)] = round(float(f[0]), 6)
+                    finally:
+                        shutil.rmtree(outdir, ignore_errors=True)
+                wall = (time.perf_counter() - t0) / len(seeds)
+                vals = list(finals.values())
+                mean = sum(vals) / len(vals)
+                emit({
+                    "config": f"quality-pipeline-{family}",
+                    "arm": label,
+                    "ga_gens": args.pipeline_gens,
+                    "adam_steps": args.pipeline_adam_steps,
+                    "wall_s_per_seed": round(wall, 1),
+                    "exact_final_mse": finals,
                     "mean": round(mean, 6),
                     "psnr_db": _psnr(mean),
                 })
