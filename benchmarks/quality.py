@@ -75,6 +75,8 @@ def main() -> None:
                     help="renderer impl (xla: CPU protocol smoke-testing)")
     ap.add_argument("--size", type=int, default=512,
                     help="canvas size (smoke-testing only; rows are 512)")
+    ap.add_argument("--n-splats", type=int, default=512,
+                    help="GA-arm genome size (smoke-testing only)")
     ap.add_argument("--out", default="")
     ap.add_argument("--quick", action="store_true",
                     help="2 seeds, gens/4, adam-steps/2 (protocol smoke run)")
@@ -100,7 +102,7 @@ def main() -> None:
     arms = set(args.arms.split(","))
 
     H = W = args.size
-    gnm = GenomeConfig(n_splats=512)
+    gnm = GenomeConfig(n_splats=args.n_splats)
     mask_cfg = MaskConfig(strength=0.7)
     obj_exact = objective.Objective(H=H, W=W, impl=args.impl)
     obj_fast = obj_exact._replace(precision="fast", cull_eps=args.cull_eps)
