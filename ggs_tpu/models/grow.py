@@ -33,11 +33,12 @@ def grow_population(
 ) -> jnp.ndarray:
     """[P, N, 9] -> [P, N + n_new, 9] with error-guided new splats.
 
-    Positions are sampled per individual from a categorical over its own
-    |render - target| residual (optionally importance-weighted), so each
-    candidate's added splats target its own weaknesses; colors are read
-    from the target at the sampled pixel; scales start near sigma_px with
-    slight anisotropy left to mutation/gradients to develop.
+    Positions are sampled per individual from its own |render - target|
+    residual distribution (optionally importance-weighted, without
+    replacement — gumbel-top-k, see below), so each candidate's added
+    splats target its own weaknesses; colors are read from the target at
+    the sampled pixel; scales start near sigma_px with slight anisotropy
+    left to mutation/gradients to develop.
     """
     P, N, C = pop.shape
     H, W = obj.H, obj.W
@@ -50,10 +51,19 @@ def grow_population(
     logits = jnp.log(res.reshape(P, H * W) + 1e-9)
 
     key, k_pos, k_theta = jax.random.split(key, 3)
-    pos_keys = jax.random.split(k_pos, P)
-    idx = jax.vmap(lambda k, lg: jax.random.categorical(k, lg, shape=(n_new,)))(
-        pos_keys, logits
-    )  # [P, n_new]
+    # Gumbel-top-k: the n_new largest gumbel-perturbed logits are a
+    # weighted sample WITHOUT replacement from the same residual
+    # distribution. The direct route — vmapped
+    # jax.random.categorical(shape=(n_new,)) — materializes a
+    # [P, n_new, H*W] gumbel tensor: 8.6 GB at (32, 256, 512²), a
+    # measured RESOURCE_EXHAUSTED at the flagship recipe's 256→512
+    # growth stage (the r3 runs survived only because 512×384 kept it
+    # at 6.4 GB). This needs ONE [P, H*W] perturbation + lax.top_k,
+    # and distinct pixels per individual spread the added capacity
+    # better than i.i.d. draws, which can stack several new splats on
+    # a single hot pixel.
+    g = jax.random.gumbel(k_pos, logits.shape, logits.dtype)  # [P, H*W]
+    _, idx = jax.lax.top_k(logits + g, n_new)  # [P, n_new]
     py = idx // W
     px = idx % W
 

@@ -41,6 +41,24 @@ def test_grow_targets_high_error_pixels(key):
     assert np.all(new[..., 8] > 0)  # visible alpha
 
 
+def test_grow_samples_distinct_pixels(key):
+    """Round-4 gumbel-top-k sampling: per-individual new-splat pixels are
+    DISTINCT (weighted sampling without replacement). This pins the fix
+    for the vmapped-categorical route, whose [P, n_new, H*W] gumbel
+    tensor was a measured 8.6 GB RESOURCE_EXHAUSTED at the flagship
+    recipe's 256→512 growth stage on a 512² canvas (grow.py:54)."""
+    pop = genome.new_population(key, 3, 4, H, W, GNM.min_scale, GNM.max_scale)
+    target = jax.random.uniform(jax.random.PRNGKey(7), (H, W, 3), jnp.float32)
+    n_new = 64
+    out = grow.grow_population(jax.random.PRNGKey(3), pop, n_new, target, OBJ)
+    new = np.asarray(out[:, 4:])
+    px = np.rint(new[..., 0] * (W - 1)).astype(int)
+    py = np.rint(new[..., 1] * (H - 1)).astype(int)
+    for i in range(3):
+        pix = set(zip(px[i].tolist(), py[i].tolist()))
+        assert len(pix) == n_new, f"individual {i}: {len(pix)}/{n_new} distinct"
+
+
 @pytest.mark.slow
 def test_grow_improves_fitness_headroom(key):
     """After growth, the population's best fitness must be improvable below
