@@ -47,6 +47,16 @@ def _grad_cull_eps(obj: Objective) -> Optional[float]:
     return DEFAULT_CULL_EPS
 
 
+def _grad_box(obj: Objective) -> str:
+    """Box mode for the differentiable paths: obj.precision ==
+    "exact-tight" trains on the deterministic tight k-sigma box render
+    (DESIGN §8e — exact gradients of that render, no ε/tolerance term);
+    everything else keeps the reference-pinned conservative boxes. Only
+    consulted when _grad_cull_eps is None (fast mode's ε-boxes already
+    subsume the tight box)."""
+    return "tight" if obj.precision == "exact-tight" else "reference"
+
+
 def make_loss_fn(obj: Objective, gnm: GenomeConfig):
     """Differentiable loss: axes-angle genomes [B, N, 9] -> mean fitness.
 
@@ -87,10 +97,13 @@ def make_loss_fn(obj: Objective, gnm: GenomeConfig):
                 g9, obj.H, obj.W, k_sigma=obj.k_sigma,
                 background=tuple(obj.background), bin_capacity=obj.bin_capacity,
                 interpret=obj.interpret, cull_eps=_grad_cull_eps(obj),
+                box=_grad_box(obj),
             )
         else:
             imgs = oracle.render_xla(
-                g9, obj.H, obj.W, k_sigma=obj.k_sigma, background=tuple(obj.background)
+                g9, obj.H, obj.W, k_sigma=obj.k_sigma,
+                background=tuple(obj.background),
+                box=_grad_box(obj),
             )
         if obj.metric != "mse":
             from ..ops import ssim as ssim_mod
@@ -154,6 +167,7 @@ def _make_sharded_loss_fn(obj: Objective):
                 y_origin=y0,
                 out_rows=Hs,
                 cull_eps=_grad_cull_eps(obj),
+                box=_grad_box(obj),
             )
             return objective_mod.sharded_energy_rows(
                 obj, imgs, tgt_rows, w_rows, y0, tile_ax
@@ -234,7 +248,7 @@ def make_value_and_grad(obj: Objective, gnm: GenomeConfig):
             boost_only=obj.boost_only, boost_beta=obj.boost_beta,
             k_sigma=obj.k_sigma, background=tuple(obj.background),
             bin_capacity=obj.bin_capacity, interpret=obj.interpret,
-            cull_eps=_grad_cull_eps(obj),
+            cull_eps=_grad_cull_eps(obj), box=_grad_box(obj),
         )
 
     return fused_vg

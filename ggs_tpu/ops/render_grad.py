@@ -599,6 +599,7 @@ def fused_value_and_grad(
     tile_w: int = 128,
     interpret: bool = False,
     cull_eps: Optional[float] = None,
+    box: str = "reference",  # "reference" | "tight" (exact-tight tier)
 ):
     """Fused ((loss, fits), grads) for loss = mean(fitness(render(g), target)).
 
@@ -659,6 +660,11 @@ def fused_value_and_grad(
         p = codec.preprocess(g9, H, W, k_sigma)
         if cull_eps is not None:
             p = _tighten_boxes(p, k_sigma, cull_eps)
+        elif box == "tight":
+            # exact-tight tier (DESIGN §8e): deterministic tight k-sigma
+            # box, no ε/alpha term — the grads are the exact gradients OF
+            # the tight-box render, all three walks share the boxes.
+            p = codec.tighten_boxes_exact(p, k_sigma)
         return (
             p.cx, p.cy, p.sxx, p.sxy, p.syy, p.rc, p.gc, p.bc, p.a,
             p.x0.astype(jnp.float32), p.x1.astype(jnp.float32),
@@ -690,6 +696,7 @@ def render_pallas_diff(
     y_origin: Optional[jnp.ndarray] = None,
     out_rows: Optional[int] = None,
     cull_eps: Optional[float] = None,
+    box: str = "reference",  # "reference" | "tight" (exact-tight tier)
 ) -> jnp.ndarray:
     """Differentiable Pallas render: [B, N, 9] (or [N, 9]) -> [B, H, W, 3].
 
@@ -750,6 +757,12 @@ def render_pallas_diff(
         )
     if cull_eps is not None:
         p = _tighten_boxes(p, k_sigma, cull_eps)
+    elif box == "tight":
+        # Deterministic tight k-sigma box (the exact-tight tier, DESIGN
+        # §8e): intersects the (already shifted) preprocess box, and the
+        # integer y-shift commutes with floor/ceil — same inheritance
+        # argument as the ε-cull above.
+        p = codec.tighten_boxes_exact(p, k_sigma)
     bgt = tuple(float(c) for c in background)
 
     def arrs_of(pc):

@@ -40,9 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--anneal-frac", type=float, default=0.6)
     p.add_argument(
-        "--precision", default="highest", choices=["highest", "fast"],
+        "--precision", default="highest",
+        choices=["highest", "exact-tight", "fast"],
         help="fast = Adam on the ε-culled render (exact grads of that "
         "culled objective; sub-ε-alpha splats get zero grad — DESIGN §8d). "
+        "exact-tight = the deterministic tight k-sigma box render (no "
+        "ε/tolerance term, ~+10%% — DESIGN §8e). "
         "Final loss/PSNR are always rescored exactly.",
     )
     p.add_argument(

@@ -235,3 +235,56 @@ def test_fused_value_and_grad_chunked_fallback(key, monkeypatch):
     (l1, _), g1 = gradient.make_value_and_grad(obj, gnm)(g, tgt, None)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-7)
+
+
+@pytest.mark.slow
+def test_exact_tight_grads_match_tight_oracle(key):
+    """precision="exact-tight" through the differentiable paths (DESIGN
+    §8e): forward equals the tight-box oracle, gradients equal the tight
+    oracle's autodiff, the fused single-kernel loss+grad equals
+    jax.value_and_grad of the unfused tight loss, and the tier actually
+    engages (energy differs from the conservative-box energy on small
+    anisotropic splats where the √2-over-tall hy bound binds)."""
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops.objective import Objective
+
+    N, B = 24, 2
+    g = genome.new_population(key, B, N, H, W, min_scale=1.0, max_scale=0.12)
+    g9 = codec.genome_to_renderer(g)
+    tgt = jax.random.uniform(jax.random.PRNGKey(4010), (H, W, 3))
+
+    # forward: tight-box pallas == tight-box oracle
+    a = render_pallas_diff(g9, H, W, interpret=True, box="tight")
+    b = oracle.render_xla(g9, H, W, box="tight")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # grads vs the tight oracle's autodiff
+    def loss_p(g9):
+        return jnp.mean(
+            (render_pallas_diff(g9, H, W, interpret=True, box="tight") - tgt) ** 2
+        )
+
+    def loss_o(g9):
+        return jnp.mean(
+            (oracle.render_xla(g9, H, W, remat_chunk=16, box="tight") - tgt) ** 2
+        )
+
+    gp = jax.grad(loss_p)(g9)
+    go = jax.grad(loss_o)(g9)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(go), rtol=1e-3, atol=1e-7)
+
+    # Objective threading: fused == unfused, and the tier engages
+    gnm = GenomeConfig(n_splats=N)
+    obj_t = Objective(H=H, W=W, impl="pallas", interpret=True, precision="exact-tight")
+    obj_c = Objective(H=H, W=W, impl="pallas", interpret=True)
+    loss_t = gradient.make_loss_fn(obj_t, gnm)
+    (l0, f0), g0 = jax.value_and_grad(loss_t, has_aux=True)(g, tgt, None)
+    (l1, f1), g1 = gradient.make_value_and_grad(obj_t, gnm)(g, tgt, None)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), rtol=1e-5, atol=1e-7)
+    scale = float(jnp.max(jnp.abs(g0))) + 1e-12
+    np.testing.assert_allclose(np.asarray(g1) / scale, np.asarray(g0) / scale, atol=2e-6)
+    lc, _ = gradient.make_loss_fn(obj_c, gnm)(g, tgt, None)
+    assert float(l0) != float(lc)  # tight truncation differs from conservative
+    assert abs(float(l0) - float(lc)) < 1e-3  # ...by a k-sigma tail strip only
