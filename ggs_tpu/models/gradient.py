@@ -47,6 +47,16 @@ def _grad_cull_eps(obj: Objective) -> Optional[float]:
     return DEFAULT_CULL_EPS
 
 
+def _grad_corner(obj: Objective) -> bool:
+    """Corner cull for the differentiable Pallas paths: active exactly
+    when the forward evaluator's is (fast mode ∧ obj.corner_cull — see
+    render_pallas._corner_eps), so memetic refinement and fast-mode Adam
+    descend the same corner-culled energy surface the GA selects on
+    (round-4 verdict missing #2). The kernels gate on cull_eps themselves;
+    _grad_cull_eps already resolves it for fast mode."""
+    return bool(obj.corner_cull) and obj.precision == "fast"
+
+
 def _grad_box(obj: Objective) -> str:
     """Box mode for the differentiable paths: obj.precision ==
     "exact-tight" trains on the deterministic tight k-sigma box render
@@ -97,7 +107,7 @@ def make_loss_fn(obj: Objective, gnm: GenomeConfig):
                 g9, obj.H, obj.W, k_sigma=obj.k_sigma,
                 background=tuple(obj.background), bin_capacity=obj.bin_capacity,
                 interpret=obj.interpret, cull_eps=_grad_cull_eps(obj),
-                box=_grad_box(obj),
+                corner_cull=_grad_corner(obj), box=_grad_box(obj),
             )
         else:
             imgs = oracle.render_xla(
@@ -167,6 +177,7 @@ def _make_sharded_loss_fn(obj: Objective):
                 y_origin=y0,
                 out_rows=Hs,
                 cull_eps=_grad_cull_eps(obj),
+                corner_cull=_grad_corner(obj),
                 box=_grad_box(obj),
             )
             return objective_mod.sharded_energy_rows(
@@ -248,7 +259,8 @@ def make_value_and_grad(obj: Objective, gnm: GenomeConfig):
             boost_only=obj.boost_only, boost_beta=obj.boost_beta,
             k_sigma=obj.k_sigma, background=tuple(obj.background),
             bin_capacity=obj.bin_capacity, interpret=obj.interpret,
-            cull_eps=_grad_cull_eps(obj), box=_grad_box(obj),
+            cull_eps=_grad_cull_eps(obj), corner_cull=_grad_corner(obj),
+            box=_grad_box(obj),
         )
 
     return fused_vg

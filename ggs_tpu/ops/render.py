@@ -45,13 +45,25 @@ def render_splats(
     tile_h: int = 64,
     tile_w: int = 128,
     remat_chunk: int = 64,
+    precision: str = "highest",
+    cull_eps: Optional[float] = None,
+    corner_cull: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Render renderer-format genomes to images. See module docstring."""
+    """Render renderer-format genomes to images. See module docstring.
+
+    precision/cull_eps/corner_cull select the Pallas walk tier (see
+    render_pallas.render_pallas). The XLA oracle has no fast walk: it maps
+    "exact-tight" to its tight-box render and treats "fast"/"bf16" as
+    exact (a strict-quality superset — never looser than asked).
+    """
     if impl == "auto":
         impl = _default_impl()
     if impl == "xla":
         return oracle.render_xla(
-            g9, H, W, k_sigma=k_sigma, background=tuple(background), remat_chunk=remat_chunk
+            g9, H, W, k_sigma=k_sigma, background=tuple(background),
+            remat_chunk=remat_chunk,
+            box="tight" if precision == "exact-tight" else "reference",
         )
     if impl == "pallas":
         from . import render_pallas
@@ -65,5 +77,11 @@ def render_splats(
             bin_capacity=bin_capacity,
             tile_h=tile_h,
             tile_w=tile_w,
+            # the image kernel has no bf16 compute mode (fitness-only);
+            # "bf16" renders the exact f32 walk
+            precision=precision if precision in ("fast", "exact-tight") else "highest",
+            cull_eps=cull_eps,
+            corner_cull=corner_cull,
+            interpret=interpret,
         )
     raise ValueError(f"unknown renderer impl: {impl!r}")

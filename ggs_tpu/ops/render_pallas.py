@@ -486,6 +486,118 @@ def _corner_keep(
     return log2a[:, None, :] + jnp.maximum(v1, v2) >= log2eps
 
 
+def _corner_band_xranges(
+    corner, x0, x1, y0, y1, band_px: int, tile_w: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized corner cull for the scatter-binning path: per coarse
+    row-band, the tile-COLUMN interval where the splat's peak contribution
+    over (band strip ∩ AABB) can reach the cull ε. Returns (txl, txh)
+    [B, _N_COARSE, N] i32 (txl > txh = nothing to bin in that band).
+
+    The per-pair rect-max test (_corner_keep) is unaffordable in the
+    scalar scatter kernel (~30 ops × 40-60 cycles per pair, round-3/4
+    verdicts), but its x-marginal over a whole band is a closed-form
+    interval computable densely in XLA: with the band's dy clamped to
+    [dyl, dyh], m(dx) = max_dy n(dx, dy) is a concave piecewise quadratic
+    (dy* = ry·dx clamped; pieces dy=dyl / interior / dy=dyh), and
+    {dx : m(dx) >= log2eps - log2a} is ONE interval. Each piece
+    contributes (its quadratic's root interval ∩ its activity domain);
+    the union of the three pieces IS the exact interval (pieces partition
+    the dx axis and the superlevel set of a concave function is
+    connected). Pixel→tile conversion floor/ceil-widens, so the cull is
+    conservative: a culled (tile, splat) pair has peak contribution < ε
+    over EVERY pixel its tile shares with the splat's box in this band —
+    the same ε class as the dense corner cull, only weaker (band-level,
+    not tile-level). Soundness + shrink vs the dense corner lists are
+    pinned in tests/test_render_pallas.py::test_scatter_corner_band_cull.
+    """
+    cx, cy, nsxx, nsxy, nsyy, log2a, log2eps = corner
+    BIG = jnp.float32(1e30)
+    ex = lambda a: a[:, None, :]  # [B, N] -> [B, 1, N]  # noqa: E731
+    c = jnp.arange(_N_COARSE, dtype=jnp.float32)[None, :, None]  # [1, C, 1]
+    # dy over band strip ∩ the splat's own y-box: sound because walk-mask
+    # zeroes any tile-row pixels outside the box, exactly like the dense
+    # corner test's rect = tile ∩ AABB; a pixel-empty intersection implies
+    # a tile-empty one (integer division monotonicity), so garbage
+    # intervals for unreachable bands are never read.
+    dyl = jnp.maximum(c * band_px, ex(y0.astype(jnp.float32))) - ex(cy)
+    dyh = jnp.minimum(c * band_px + (band_px - 1), ex(y1.astype(jnp.float32))) - ex(cy)
+    nxx = ex(nsxx)
+    nxy = ex(nsxy)
+    nyy = ex(nsyy)
+    L = log2eps - ex(log2a)  # need n(dx, dy) >= L (L > 0 => unreachable)
+
+    def quad_interval(dyc):
+        # {dx : nxx dx² + (nxy dyc) dx + nyy dyc² - L >= 0}, nxx < 0
+        A = -nxx
+        Bq = -nxy * dyc
+        Cq = L - nyy * dyc * dyc
+        D = Bq * Bq - 4.0 * A * Cq
+        sq = jnp.sqrt(jnp.maximum(D, 0.0))
+        inv2A = 0.5 / jnp.maximum(A, 1e-30)
+        lo = (-Bq - sq) * inv2A
+        hi = (-Bq + sq) * inv2A
+        empty = D < 0.0
+        return jnp.where(empty, BIG, lo), jnp.where(empty, -BIG, hi)
+
+    ry = nxy / (-2.0 * jnp.minimum(nyy, -1e-30))  # dy*(dx) = ry·dx
+
+    def halfplane(cval, ge: bool):
+        # interval of {dx : ry·dx >= cval} (ge) or {ry·dx <= cval}
+        rsafe = jnp.where(jnp.abs(ry) > 1e-20, ry, 1.0)
+        q = jnp.clip(cval / rsafe, -BIG, BIG)
+        pos = ry > 1e-20
+        neg = ry < -1e-20
+        zero = ~(pos | neg)
+        if ge:
+            lo = jnp.where(pos, q, -BIG)
+            hi = jnp.where(neg, q, BIG)
+            dead = zero & (cval > 0.0)
+        else:
+            lo = jnp.where(neg, q, -BIG)
+            hi = jnp.where(pos, q, BIG)
+            dead = zero & (cval < 0.0)
+        return jnp.where(dead, BIG, lo), jnp.where(dead, -BIG, hi)
+
+    # piece P0: dy clamped at dyl (active where ry·dx <= dyl)
+    q0l, q0h = quad_interval(dyl)
+    d0l, d0h = halfplane(dyl, ge=False)
+    # piece P2: dy clamped at dyh (active where ry·dx >= dyh)
+    q2l, q2h = quad_interval(dyh)
+    d2l, d2h = halfplane(dyh, ge=True)
+    # piece P1: interior vertex (m = qi·dx², qi = nxx - nxy²/(4 nyy) < 0)
+    qi = nxx - nxy * nxy / (4.0 * jnp.minimum(nyy, -1e-30))
+    R = jnp.sqrt(jnp.maximum(L / jnp.minimum(qi, -1e-30), 0.0))
+    q1l = jnp.where(L <= 0.0, -R, BIG)
+    q1h = jnp.where(L <= 0.0, R, -BIG)
+    d1l0, d1h0 = halfplane(dyl, ge=True)
+    d1l1, d1h1 = halfplane(dyh, ge=False)
+    d1l, d1h = jnp.maximum(d1l0, d1l1), jnp.minimum(d1h0, d1h1)
+
+    ulo, uhi = BIG, -BIG
+    for ql, qh, dl, dh in ((q0l, q0h, d0l, d0h), (q1l, q1h, d1l, d1h),
+                           (q2l, q2h, d2l, d2h)):
+        plo = jnp.maximum(ql, dl)
+        phi = jnp.minimum(qh, dh)
+        keep = plo <= phi
+        ulo = jnp.minimum(ulo, jnp.where(keep, plo, BIG))
+        uhi = jnp.maximum(uhi, jnp.where(keep, phi, -BIG))
+    band_hit = dyl <= dyh  # box ∩ band strip nonempty
+    ulo = jnp.where(band_hit, ulo, BIG)
+    uhi = jnp.where(band_hit, uhi, -BIG)
+
+    x0f = ex(x0.astype(jnp.float32))
+    x1f = ex(x1.astype(jnp.float32))
+    xlo = jnp.clip(jnp.maximum(x0f, jnp.floor(ex(cx) + ulo)), 0.0, 3.0e7)
+    xhi = jnp.clip(jnp.minimum(x1f, jnp.ceil(ex(cx) + uhi)), -2.0, 3.0e7)
+    txl = xlo.astype(jnp.int32) // tile_w
+    # empty => txh = txl - 1 EXACTLY: the fine walk computes npairs =
+    # rows * (txh - txl + 1) and rows may itself be <= 0 when the splat
+    # misses a group — nx must be 0, not negative, to keep npairs <= 0
+    txh = jnp.where(xhi < xlo, txl - 1, xhi.astype(jnp.int32) // tile_w)
+    return txl, txh
+
+
 def _bin_splats(
     p: codec.SplatScreen, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int,
     interpret: bool = False, pad_slots: int = _SCATTER_PAD,
@@ -526,14 +638,18 @@ def _bin_splats_xy(
       truncation rule.
     """
     if n_tx * n_ty >= 256:
-        # The corner cull is a dense-path feature: in the scalar scatter
-        # kernel the 2-D rect-max test would be per-pair scalar-core work
-        # (~30 ops x 40-60 cycles each — CLAUDE.md), destroying the pair-
-        # bound advantage that is the scatter path's whole point. Large
-        # canvases keep the plain tight boxes; both are inside the fast
-        # mode's ε-tolerance contract, so lists may differ by canvas size.
+        # The scatter kernel can't afford the per-pair 2-D rect-max test
+        # (~30 ops x 40-60 cycles each on the scalar core — CLAUDE.md),
+        # but it consumes the VECTORIZED band-level form: per coarse
+        # row-band, the corner test's x-marginal is a closed-form tile-
+        # column interval computed densely in XLA (_corner_band_xranges)
+        # and read per (band, splat) by the fine walk — band-granular
+        # (weaker than the dense per-tile test) but the same ε class, so
+        # lists may differ from the dense corner lists by canvas size
+        # (round-4 verdict item 5).
         return _bin_splats_scatter(
-            x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap, interpret, pad_slots
+            x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap, interpret,
+            pad_slots, corner=corner,
         )
     return _bin_splats_dense(
         x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap, corner=corner
@@ -579,7 +695,7 @@ def _bin_splats_dense(
 _N_COARSE = 8  # coarse row-bands for two-level scatter (fits SMEM lists)
 
 
-def _band_lists_xla(ty0t, ty1t, n_ty: int, rpt: int, cap_g: int):
+def _band_lists_xla(ty0t, ty1t, n_ty: int, rpt: int, cap_g: int, keep=None):
     """Level 1 of the two-level scatter, VECTORIZED: per coarse row-band
     (rpt tile rows) ascending splat lists + counts, as a [B, _N_COARSE, N]
     overlap matrix compacted by lax.sort. Replaces the scalar coarse-walk
@@ -592,12 +708,17 @@ def _band_lists_xla(ty0t, ty1t, n_ty: int, rpt: int, cap_g: int):
 
     ty0t/ty1t are TILE row coords [B, N] (empty boxes have ty1t < ty0t
     and land in no band). cap_g >= N so lists are lossless; entries past
-    gcnt are the sentinel N."""
+    gcnt are the sentinel N. `keep` [B, C, N] (optional) ANDs a per-band
+    prefilter into the overlap matrix — the corner cull's band-emptiness
+    (txl > txh from _corner_band_xranges), so fully-culled splats are
+    never walked by the fine kernel at all."""
     B, N = ty0t.shape
     a = jnp.maximum(ty0t, 0) // rpt  # [B, N]
     b = jnp.minimum(ty1t, n_ty - 1) // rpt
     c = jnp.arange(_N_COARSE, dtype=jnp.int32)[None, :, None]  # [1, C, 1]
     ov = (a[:, None, :] <= c) & (b[:, None, :] >= c)  # [B, C, N]
+    if keep is not None:
+        ov &= keep
     order = jnp.where(ov, jnp.arange(N, dtype=jnp.int32)[None, None, :], jnp.int32(N))
     gl = jax.lax.sort(order, dimension=-1)
     if cap_g > N:
@@ -628,7 +749,7 @@ def _blocked_fori(n: int, k: int, body, init):
 
 def _scatter_bin_kernel(
     rng_ref,  # (1, 4, N) SMEM i32: tx0, tx1, ty0, ty1 (tile coords)
-    *refs,  # [gl_ref, gcnt_ref if coarse,] idx_ref, ovf_ref (1,1,1,1)
+    *refs,  # [gl_ref, gcnt_ref if coarse,] [cxr_ref if corner_x,] idx_ref, ovf_ref
     n_tx: int,
     rpg: int,
     cap: int,
@@ -637,6 +758,7 @@ def _scatter_bin_kernel(
     rpt: int = 0,
     cap_g: int = 0,
     pad_slots: int = _SCATTER_PAD,
+    corner_x: bool = False,
 ):
     """Pair-scatter binning for one (batch, tile-row-group) cell.
 
@@ -655,7 +777,10 @@ def _scatter_bin_kernel(
     _SCATTER_PAD sentinel entries are written (the rest of the block is
     dead data).
     """
-    if coarse:
+    cxr_ref = None
+    if coarse and corner_x:
+        gl_ref, gcnt_ref, cxr_ref, idx_ref, ovf_ref = refs
+    elif coarse:
         gl_ref, gcnt_ref, idx_ref, ovf_ref = refs
     else:
         gl_ref = gcnt_ref = None
@@ -685,8 +810,15 @@ def _scatter_bin_kernel(
         s = get(k)
         a = jnp.maximum(rng_ref[0, 2, s] - gy0, 0)
         b = jnp.minimum(rng_ref[0, 3, s] - gy0, rpg - 1)
-        tx0 = rng_ref[0, 0, s]
-        tx1 = rng_ref[0, 1, s]
+        if corner_x:
+            # corner-culled per-band column range (_corner_band_xranges):
+            # two extra scalar loads per (splat, group) buy the band's
+            # ellipse-corner column trim — txh < txl => npairs <= 0 below
+            tx0 = cxr_ref[0, 0, 0, s]
+            tx1 = cxr_ref[0, 0, 1, s]
+        else:
+            tx0 = rng_ref[0, 0, s]
+            tx1 = rng_ref[0, 1, s]
         # One FUSED loop over this splat's (row, col) cover instead of
         # nested row/col fori_loops: a Mosaic scalar loop costs ~40-60
         # cycles of machinery per iteration (docs/DESIGN.md §12) and the
@@ -760,7 +892,7 @@ def _scatter_bin_kernel(
 def _bin_splats_scatter(
     x0, x1, y0, y1, n_tx: int, n_ty: int, tile_h: int, tile_w: int, cap: int,
     interpret: bool = False, pad_slots: int = _SCATTER_PAD,
-    smem_budget: int = 176 * 1024,
+    smem_budget: int = 176 * 1024, corner=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pair-proportional binning (see _bin_splats_xy). Tiles are processed
     in row-band groups sized so each group's lists fit SMEM; the per-tile
@@ -769,7 +901,14 @@ def _bin_splats_scatter(
     8k-splat chunk). When cap_s < cap, truncation would silently drop
     painter-ordered splats, so the kernel reports the max TRUE per-tile
     count and the call falls back (lax.cond) to the dense path whenever
-    any tile overflows — results are always identical to dense."""
+    any tile overflows — results are identical to dense (without corner;
+    with the band-level corner cull the fallback's per-tile cull is
+    sharper, same ε class).
+
+    `corner` (fast mode, opt-in): the vectorized band-level corner cull —
+    per-(coarse band, splat) tile-column ranges from _corner_band_xranges,
+    read by the fine walk instead of the box's column range, plus a
+    band-list prefilter for fully-culled splats. Two-level mode only."""
     B, N = x0.shape
 
     budget = smem_budget  # SMEM bytes for one group's lists (2x buffered)
@@ -787,7 +926,9 @@ def _bin_splats_scatter(
         # Budget too small for this tile grid (tiny-budget tests, extreme
         # aspect ratios): the scatter kernel can't hold a useful list, so
         # bin densely. Static decision — all shapes are known at trace time.
-        return _bin_splats_dense(x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap)
+        return _bin_splats_dense(
+            x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap, corner=corner
+        )
 
     rng = jnp.stack(
         [x0 // tile_w, x1 // tile_w, y0 // tile_h, y1 // tile_h], axis=1
@@ -806,11 +947,18 @@ def _bin_splats_scatter(
     # only its band's list, making total work ~2x the pair count.
     cap_g = _cdiv(N, 128) * 128  # >= N (lossless) and lane-aligned
     two_level = n_groups > 1 and cap_g <= 8192
+    corner_x = corner is not None and two_level  # band cull needs bands
     if two_level:
         # n_groups <= _N_COARSE by construction above, so coarse bands
         # coincide with fine groups (re-walk factor 1).
         rpt = rpg
-        gl, gcnt = _band_lists_xla(rng[:, 2], rng[:, 3], n_ty, rpt, cap_g)
+        keep = None
+        if corner_x:
+            txl, txh = _corner_band_xranges(
+                corner, x0, x1, y0, y1, rpt * tile_h, tile_w
+            )
+            keep = txl <= txh  # band prefilter: fully-culled => not walked
+        gl, gcnt = _band_lists_xla(rng[:, 2], rng[:, 3], n_ty, rpt, cap_g, keep)
         in_specs += [
             pl.BlockSpec(
                 (1, _N_COARSE, cap_g), lambda b, g: (b, 0, 0),
@@ -821,12 +969,26 @@ def _bin_splats_scatter(
             ),
         ]
         args += [gl, gcnt]
+        if corner_x:
+            # per-(band, splat) culled column ranges; bands == groups, so
+            # each fine group reads exactly its band's (1, 1, 2, N) slice
+            # (the walk only loads s < N from the band's true-count list,
+            # so no sentinel column is needed)
+            cxr = jnp.stack([txl, txh], axis=2)  # [B, C, 2, N] i32
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 2, N), lambda b, g: (b, g, 0, 0),
+                    memory_space=pltpu.SMEM,
+                )
+            )
+            args.append(cxr)
 
     idx1, ovf = pl.pallas_call(
         functools.partial(
             _scatter_bin_kernel, n_tx=n_tx, rpg=rpg, cap=cap_s, N=N,
             coarse=two_level, rpt=rpt if two_level else 0,
             cap_g=cap_g if two_level else 0, pad_slots=pad_slots,
+            corner_x=corner_x,
         ),
         grid=(B, n_groups),
         in_specs=in_specs,
@@ -861,8 +1023,12 @@ def _bin_splats_scatter(
     overflowed = jnp.max(ovf) > cap_s
     return jax.lax.cond(
         overflowed,
+        # corner threads through: the fallback culls at per-TILE
+        # granularity (sharper than the band cull) — both are inside the
+        # fast contract's ε class, same as the dense-vs-scatter rule
         lambda _: _bin_splats_dense(
-            x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap
+            x0, x1, y0, y1, n_tx, n_ty, tile_h, tile_w, cap,
+            corner=corner if corner_x else None,
         ),
         lambda _: (idx, cnt),
         operand=None,
@@ -1319,7 +1485,7 @@ def _fitness_partials(
     jax.jit,
     static_argnames=(
         "H", "W", "k_sigma", "background", "bin_capacity", "tile_h", "tile_w",
-        "interpret", "unroll", "precision", "cull_eps",
+        "interpret", "unroll", "precision", "cull_eps", "corner_cull",
     ),
 )
 def fitness_pallas_partial(
@@ -1338,6 +1504,7 @@ def fitness_pallas_partial(
     unroll: int = 8,
     precision: str = "highest",  # "highest" (f32) | "fast" (~5e-5) | "bf16"
     cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> DEFAULT_CULL_EPS)
+    corner_cull: bool = False,  # fast-mode rect-min corner cull (_corner_keep)
 ) -> jnp.ndarray:
     """Row-slab partial of the fused fitness: sum(dif^2 * w) over the slab.
 
@@ -1368,16 +1535,21 @@ def fitness_pallas_partial(
         p = _tighten_boxes(p, k_sigma, cull_eps)  # intersection inherits the shift
     elif precision == "exact-tight":
         p = codec.tighten_boxes_exact(p, k_sigma)  # same shift inheritance
+    # Corner cull (round-4 verdict missing #3): _corner_params reads the
+    # SHIFTED SplatScreen, so the rect-min test runs in slab coordinates —
+    # the same tile rects the slab's walk masks against. Per-chip culled
+    # work now matches the single-chip fused kernel's.
+    corner_eps = _corner_eps(precision, corner_cull, cull_eps)
     bgt = tuple(float(c) for c in background)
     init_p, p_last = _chunked_passes(
         p, Hs, W, tile_h, tile_w, bgt, unroll, interpret, bin_capacity,
-        keep_last=True, precision=precision,
+        keep_last=True, precision=precision, corner_eps=corner_eps,
     )
     return _fitness_partials(
         p_last, target_slab.astype(jnp.float32), w_slab.astype(jnp.float32),
         Hs, W, tile_h, tile_w, bgt,
         jnp.bfloat16 if precision == "bf16" else jnp.float32, unroll, interpret,
-        bin_capacity, init_p, precision=precision,
+        bin_capacity, init_p, precision=precision, corner_eps=corner_eps,
     )
 
 
@@ -1396,6 +1568,7 @@ def render_rows_pallas(
     unroll: int = 8,
     precision: str = "highest",
     cull_eps: Optional[float] = None,  # fast-mode cull ε (None -> DEFAULT_CULL_EPS)
+    corner_cull: bool = False,  # fast-mode rect-min corner cull (_corner_keep)
 ) -> jnp.ndarray:
     """Render `out_rows` canvas rows starting at y_origin -> [B, rows, W, 3].
 
@@ -1425,6 +1598,7 @@ def render_rows_pallas(
     out, _ = _chunked_passes(
         p, out_rows, W, tile_h, tile_w, tuple(float(c) for c in background),
         unroll, interpret, bin_capacity, keep_last=False, precision=precision,
+        corner_eps=_corner_eps(precision, corner_cull, cull_eps),
     )
     return jnp.transpose(out[:, :, :out_rows, :W], (0, 2, 3, 1))
 

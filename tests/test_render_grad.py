@@ -288,3 +288,96 @@ def test_exact_tight_grads_match_tight_oracle(key):
     lc, _ = gradient.make_loss_fn(obj_c, gnm)(g, tgt, None)
     assert float(l0) != float(lc)  # tight truncation differs from conservative
     assert abs(float(l0) - float(lc)) < 1e-3  # ...by a k-sigma tail strip only
+
+
+@pytest.mark.slow
+def test_corner_cull_grad_path(key):
+    """Round-5 (r4 verdict missing #2): the rect-min corner cull through
+    the differentiable paths. (a) corner binning engages and stays in the
+    ε class; (b) the fused single-kernel loss+grad equals
+    jax.value_and_grad of the unfused corner-culled loss; (c) a
+    (tile, splat) pair culled at binning contributes EXACTLY zero
+    gradient — an image cotangent supported only on a corner-culled
+    tile pulls back to a zero gradient for that splat."""
+    from ggs_tpu.config import GenomeConfig
+    from ggs_tpu.models import gradient
+    from ggs_tpu.ops import render_pallas as rp
+    from ggs_tpu.ops.objective import Objective
+
+    # two tile COLUMNS: at W <= 128 (one lane-wide column) every tile
+    # spans the full x-box and the rect-max reduces to the tight box's
+    # y-marginal — nothing to cull
+    Hc, Wc = 128, 256
+    tile_h, tile_w = 32, 128
+    n_tx, n_ty = Wc // tile_w, Hc // tile_h
+    N, B, eps = 48, 2, 8e-2
+    g = genome.new_population(key, B, N, Hc, Wc, min_scale=1.0, max_scale=0.4)
+    g9 = codec.genome_to_renderer(g)
+    tgt = jax.random.uniform(jax.random.PRNGKey(4020), (Hc, Wc, 3))
+
+    # (a) + (b): Objective threading, fused == unfused under the corner cull
+    gnm = GenomeConfig(n_splats=N)
+    obj_corner = Objective(
+        H=Hc, W=Wc, impl="pallas", interpret=True, precision="fast",
+        cull_eps=eps, corner_cull=True,
+    )
+    obj_box = obj_corner._replace(corner_cull=False)
+    loss_corner = gradient.make_loss_fn(obj_corner, gnm)
+    (l0, f0), g0 = jax.value_and_grad(loss_corner, has_aux=True)(g, tgt, None)
+    (l1, f1), g1 = gradient.make_value_and_grad(obj_corner, gnm)(g, tgt, None)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), rtol=1e-5, atol=1e-7)
+    scale = float(jnp.max(jnp.abs(g0))) + 1e-12
+    np.testing.assert_allclose(np.asarray(g1) / scale, np.asarray(g0) / scale, atol=2e-6)
+    # engagement + tolerance class: differs from box-only fast, but barely
+    (lb, fb), _ = jax.value_and_grad(
+        gradient.make_loss_fn(obj_box, gnm), has_aux=True
+    )(g, tgt, None)
+    assert float(l0) != float(lb)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(fb), atol=2e-3)
+
+    # (c) zero grad from culled pairs: find a pair kept by the tight box
+    # but culled by the corner test, aim a cotangent at ONLY that tile.
+    p = codec.preprocess(g9, Hc, Wc, 3.0)
+    pt = rp._tighten_boxes(p, 3.0, eps)
+    corner = rp._corner_params(pt, eps)
+    idx_box, cnt_box = rp._bin_splats_dense(
+        pt.x0, pt.x1, pt.y0, pt.y1, n_tx, n_ty, tile_h, tile_w, N
+    )
+    idx_c, cnt_c = rp._bin_splats_dense(
+        pt.x0, pt.x1, pt.y0, pt.y1, n_tx, n_ty, tile_h, tile_w, N, corner=corner
+    )
+    pair = None
+    for b in range(B):
+        for t in range(n_tx * n_ty):
+            box_set = set(np.asarray(idx_box[b, t, : int(cnt_box[b, t])]).tolist())
+            cor_set = set(np.asarray(idx_c[b, t, : int(cnt_c[b, t])]).tolist())
+            # a splat culled from THIS tile and not binned anywhere it
+            # could pick up cotangent: restrict the check to this tile by
+            # zeroing the cotangent elsewhere, so any tile works
+            dropped = box_set - cor_set
+            if dropped:
+                pair = (b, t, sorted(dropped)[0])
+                break
+        if pair:
+            break
+    assert pair is not None, "protocol error: no corner-culled pair sampled"
+    b, t, s = pair
+    ty, tx = t // n_tx, t % n_tx
+    cot = np.zeros((B, Hc, Wc, 3), np.float32)
+    cot[b, ty * tile_h:(ty + 1) * tile_h, tx * tile_w:(tx + 1) * tile_w, :] = 1.0
+
+    def pull(corner_on):
+        _, vjp = jax.vjp(
+            lambda q: render_pallas_diff(
+                q, Hc, Wc, interpret=True, tile_h=tile_h, tile_w=tile_w,
+                cull_eps=eps, corner_cull=corner_on,
+            ),
+            g9,
+        )
+        return np.asarray(vjp(jnp.asarray(cot))[0])
+
+    g_on = pull(True)
+    g_off = pull(False)
+    np.testing.assert_array_equal(g_on[b, s], np.zeros(9, np.float32))
+    assert float(np.abs(g_off[b, s]).max()) > 0.0

@@ -633,3 +633,61 @@ def test_scatter_binning_capacity_overflow_falls_back(key):
     for t in range(di.shape[1]):
         c = dc[0, t]
         np.testing.assert_array_equal(si[0, t, :c], di[0, t, :c])
+
+
+@pytest.mark.slow
+def test_scatter_corner_band_cull(key):
+    """Round-5 (r4 verdict item 5): the corner cull's vectorized band-level
+    form in the scatter binning path. Per tile:
+      dense-corner lists ⊆ scatter-corner lists ⊆ box-only lists
+    (left: the band-level x-marginal is weaker than the per-tile rect-max,
+    so it may only cull a SUBSET of the dense corner cull's pairs — which
+    test_corner_keep_matches_bruteforce already pins as ε-sound; right:
+    culling only removes pairs), with strict shrink overall (engagement),
+    ascending order preserved, and the full render within fast tolerance."""
+    from ggs_tpu.ops import codec as codec_mod
+    from ggs_tpu.ops import render_pallas as rp
+
+    H, W = 512, 256
+    tile_h, tile_w = 32, 128
+    n_tx, n_ty = W // tile_w, H // tile_h  # 2 x 16 tiles
+    N, B, eps = 64, 2, 8e-2
+    g9 = _genomes(key, B, N, H, W, max_scale=0.5)
+    p = codec_mod.preprocess(g9, H, W, 3.0)
+    pt = rp._tighten_boxes(p, 3.0, eps)
+    corner = rp._corner_params(pt, eps)
+
+    idx_box, cnt_box = rp._bin_splats_scatter(
+        pt.x0, pt.x1, pt.y0, pt.y1, n_tx, n_ty, tile_h, tile_w, N,
+        interpret=True,
+    )
+    idx_sc, cnt_sc = rp._bin_splats_scatter(
+        pt.x0, pt.x1, pt.y0, pt.y1, n_tx, n_ty, tile_h, tile_w, N,
+        interpret=True, corner=corner,
+    )
+    idx_dc, cnt_dc = rp._bin_splats_dense(
+        pt.x0, pt.x1, pt.y0, pt.y1, n_tx, n_ty, tile_h, tile_w, N,
+        corner=corner,
+    )
+    assert int(jnp.sum(cnt_sc)) < int(jnp.sum(cnt_box))  # engagement
+    T = n_tx * n_ty
+    for b in range(B):
+        for t in range(T):
+            box = np.asarray(idx_box[b, t, : int(cnt_box[b, t])]).tolist()
+            sc = np.asarray(idx_sc[b, t, : int(cnt_sc[b, t])]).tolist()
+            dc = np.asarray(idx_dc[b, t, : int(cnt_dc[b, t])]).tolist()
+            assert set(dc) <= set(sc) <= set(box), (b, t)
+            assert sc == sorted(sc)  # ascending painter order preserved
+
+    # full path: a >= 256-tile canvas dispatches to scatter inside
+    # render_pallas; fast+corner must stay within the fast ε class
+    H2, W2 = 1024, 512  # 16 x 32 = 512 tiles at the default 64x128
+    g2 = _genomes(jax.random.fold_in(key, 5), 1, 48, H2, W2, max_scale=0.4)
+    r_box = render_pallas(
+        g2, H2, W2, interpret=True, precision="fast", cull_eps=eps
+    )
+    r_cor = render_pallas(
+        g2, H2, W2, interpret=True, precision="fast", cull_eps=eps,
+        corner_cull=True,
+    )
+    assert float(jnp.max(jnp.abs(r_cor - r_box))) <= eps * 1.5

@@ -289,3 +289,97 @@ def test_metric_sharded_matches_image_path(key):
                 np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6,
                 err_msg=f"metric={metric} mask={'yes' if mask is not None else 'no'}",
             )
+
+
+@pytest.mark.slow
+def test_fused_sharded_fast_corner_matches_single_chip(key):
+    """Round-5 (r4 verdict missing #3): corner_cull through the sharded
+    fused path. The corner test must engage on the slab's SHIFTED tile
+    coordinates (deterministic dense-count check on slab 0), and the
+    shard_map'd fast+corner fitness must agree with the single-chip
+    fast+corner fused fitness within the documented ε class."""
+    from ggs_tpu.ops import render_pallas as rp
+
+    Hc, Wc = 128, 256
+    eps = 8e-2
+    m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
+    gnm = GenomeConfig(n_splats=48, min_scale=1.0, max_scale=0.4)
+    pop = genome.new_population(key, 8, 48, Hc, Wc, gnm.min_scale, gnm.max_scale)
+    tg = genome.new_population(
+        jax.random.PRNGKey(2010), 1, 24, Hc, Wc, gnm.min_scale, gnm.max_scale
+    )[0]
+    target = oracle.render_xla(codec.genome_to_renderer(tg), Hc, Wc)
+
+    # engagement on the slab's shifted coordinates: slab 1 (rows 64-127),
+    # the fused-sharded tile grid (tile_h=64 for a 64-row slab, tile_w=128)
+    g9 = codec.genome_to_renderer(pop)
+    p = codec.preprocess(g9, Hc, Wc, 3.0)
+    y0 = jnp.int32(64)
+    p = p._replace(cy=p.cy - 64.0, y0=p.y0 - 64, y1=p.y1 - 64)
+    pt = rp._tighten_boxes(p, 3.0, eps)
+    _, c_box = rp._bin_splats_dense(pt.x0, pt.x1, pt.y0, pt.y1, 2, 1, 64, 128, 48)
+    _, c_cor = rp._bin_splats_dense(
+        pt.x0, pt.x1, pt.y0, pt.y1, 2, 1, 64, 128, 48,
+        corner=rp._corner_params(pt, eps),
+    )
+    assert int(jnp.sum(c_cor)) < int(jnp.sum(c_box))
+
+    base = objective.Objective(
+        H=Hc, W=Wc, impl="pallas", interpret=True, precision="fast",
+        cull_eps=eps, corner_cull=True,
+    )
+    ref = objective.evaluate(base, pop, target, None)  # single-chip fused
+    obj_s = shard.sharded_objective(base, m)
+    got = jax.jit(lambda p_, t: objective.evaluate(obj_s, p_, t, None))(
+        jax.device_put(pop, mesh_mod.pop_sharding(m)),
+        shard.place_target(target, m),
+    )
+    # different tile grids (full canvas 64x128 x2 rows vs two 64-row
+    # slabs) cull different ellipse-corner pairs — same ε class
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_unsharded_metric_honors_fast_precision(key):
+    """Round-5 (r4 verdict weak #2): `--metric mix --precision fast` on a
+    single chip must render the FAST walk (it used to silently render the
+    exact walk while the sharded metric path went fast). Pins: (a) the
+    unsharded mix energy under precision="fast" equals mixed_energy over
+    render_pallas's fast images exactly (same code path); (b) it differs
+    from the exact-walk energy (engagement); (c) it matches the SHARDED
+    fast metric path within the reduction/ε tolerance."""
+    from ggs_tpu.ops import render_pallas as rp
+    from ggs_tpu.ops import ssim as ssim_mod
+
+    Hm = Wm = 32
+    eps = 8e-2
+    m = mesh_mod.make_mesh(4, 2, cpu_devices(8))
+    gnm = GenomeConfig(n_splats=8, min_scale=1.0, max_scale=0.3)
+    pop = genome.new_population(key, 8, 8, Hm, Wm, gnm.min_scale, gnm.max_scale)
+    tg = genome.new_population(
+        jax.random.PRNGKey(2011), 1, 8, Hm, Wm, gnm.min_scale, gnm.max_scale
+    )[0]
+    target = oracle.render_xla(codec.genome_to_renderer(tg), Hm, Wm)
+
+    base = objective.Objective(
+        H=Hm, W=Wm, impl="pallas", interpret=True, metric="mix",
+        ssim_weight=0.5, precision="fast", cull_eps=eps, corner_cull=False,
+    )
+    got = objective.evaluate(base, pop, target, None)
+    imgs_fast = rp.render_pallas(
+        codec.genome_to_renderer(pop), Hm, Wm, interpret=True,
+        precision="fast", cull_eps=eps,
+    )
+    want = ssim_mod.mixed_energy(imgs_fast, target, ssim_weight=0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    exact = objective.evaluate(base._replace(precision="highest"), pop, target, None)
+    assert not np.array_equal(np.asarray(got), np.asarray(exact))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=5e-3)
+
+    obj_s = shard.sharded_objective(base, m)
+    sharded = jax.jit(lambda p, t: objective.evaluate(obj_s, p, t, None))(
+        jax.device_put(pop, mesh_mod.pop_sharding(m)),
+        shard.place_target(target, m),
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(got), atol=5e-3)

@@ -361,3 +361,90 @@ def test_compiled_culled_loss_grad_batched(key):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)
     dead = np.asarray(g1)[:, 0, :]
     np.testing.assert_array_equal(dead, np.zeros_like(dead))
+
+
+@pytest.mark.slow
+def test_compiled_corner_cull_paths(key):
+    """Round-5 corner-cull threading COMPILED on hardware (VERDICT r4
+    items 2/3/5). Interpret mode enforces neither SMEM layout rules nor
+    batch-shape constraints (CLAUDE.md), so each new kernel surface gets
+    a real Mosaic compile here:
+      (a) scatter binning with the band-level corner cull — the new
+          (1, 1, 2, N) SMEM column-range block — at B=1 AND B=4;
+          corner lists must be a per-tile subset of the box lists, in
+          ascending order, with strict total shrink (engagement);
+      (b) fast+corner full render over a >=256-tile canvas (the scatter
+          dispatch inside render_pallas) within the fast ε class of the
+          corner-off fast render;
+      (c) fitness_pallas_partial with corner_cull=True at a nonzero slab
+          y-origin (the sharded fused path's per-device kernel)."""
+    H, W = 1024, 512  # 16 x 4 = 64 tiles/group grid, >=256 tiles overall
+    n_tx, n_ty = W // 128, H // 64
+    eps = 8e-2
+    for B in (1, 4):
+        g = genome.new_population(
+            jax.random.fold_in(key, B), B, 64, H, W, 1.0, 0.3
+        )
+        g9 = codec.genome_to_renderer(g)
+        p = codec.preprocess(g9, H, W, 3.0)
+        pt = _on_tpu(lambda q: rp._tighten_boxes(q, 3.0, eps), p)
+        corner = _on_tpu(lambda q: rp._corner_params(q, eps), pt)
+        ib, cb = _on_tpu(
+            lambda *a: rp._bin_splats_scatter(*a, n_tx, n_ty, 64, 128, 64),
+            pt.x0, pt.x1, pt.y0, pt.y1,
+        )
+        ic, cc = _on_tpu(
+            lambda *a: rp._bin_splats_scatter(
+                a[0], a[1], a[2], a[3], n_tx, n_ty, 64, 128, 64,
+                corner=tuple(a[4:]),
+            ),
+            pt.x0, pt.x1, pt.y0, pt.y1, *corner,
+        )
+        ib_n, cb_n = np.asarray(ib), np.asarray(cb)
+        ic_n, cc_n = np.asarray(ic), np.asarray(cc)
+        assert cc_n.sum() < cb_n.sum(), (B, cc_n.sum(), cb_n.sum())
+        for b in range(B):
+            for t in range(n_tx * n_ty):
+                box = ib_n[b, t, : cb_n[b, t]].tolist()
+                cor = ic_n[b, t, : cc_n[b, t]].tolist()
+                assert set(cor) <= set(box), (B, b, t)
+                assert cor == sorted(cor)
+
+    g9 = codec.genome_to_renderer(
+        genome.new_population(key, 2, 48, H, W, 1.0, 0.3)
+    )
+    r_box = _on_tpu(
+        lambda g: rp.render_pallas(g, H, W, precision="fast", cull_eps=eps),
+        g9,
+    )
+    r_cor = _on_tpu(
+        lambda g: rp.render_pallas(
+            g, H, W, precision="fast", cull_eps=eps, corner_cull=True
+        ),
+        g9,
+    )
+    assert float(jnp.max(jnp.abs(r_cor - r_box))) <= eps * 1.5
+
+    tgt = _on_tpu(
+        lambda k: jax.random.uniform(k, (256, W, 3), jnp.float32),
+        jax.random.PRNGKey(7),
+    )
+    w = jnp.ones((256, W), jnp.float32)
+    f_cor = _on_tpu(
+        lambda g, t, wm: rp.fitness_pallas_partial(
+            g, t, wm, H, W, jnp.int32(256), precision="fast", cull_eps=eps,
+            corner_cull=True,
+        ),
+        g9, tgt, w,
+    )
+    f_box = _on_tpu(
+        lambda g, t, wm: rp.fitness_pallas_partial(
+            g, t, wm, H, W, jnp.int32(256), precision="fast", cull_eps=eps,
+        ),
+        g9, tgt, w,
+    )
+    assert np.isfinite(np.asarray(f_cor)).all()
+    np.testing.assert_allclose(
+        np.asarray(f_cor), np.asarray(f_box),
+        rtol=0, atol=eps * 2.0 * 256 * W,  # per-pixel ε class over the slab sum
+    )
