@@ -3,12 +3,15 @@
 Throughput regressions are diffable round-over-round (suite.py rows);
 this harness makes QUALITY regressions equally diffable, and widens the
 evidence for the recommended evolution mode (`--precision fast
---cull-eps 8e-2`, DESIGN §8c) from one synthetic target to five image
+--cull-eps 8e-2`, DESIGN §8c) from one synthetic target to seven image
 families with distinct spectral/structural character
-(utils/io.quality_target: gradient / portrait / texture / text, plus the
-original synthetic — the bundled imgs/reference.png is a u8-quantized
-crop of the synthetic target, not an independent family, so it is not a
-separate row).
+(utils/io.quality_target: gradient / portrait / texture / text /
+natural, plus the original synthetic, plus — round 5, VERDICT r4 item 1
+— "natural" with numerically-pinned 1/f² statistics and "photo", the
+bundled REAL photograph (a lossless crop of matplotlib's public-domain
+grace_hopper sample; tests/test_io.py pins both). The old
+imgs/reference.png is a u8-quantized crop of the synthetic target, not
+an independent family, so it is not a separate row.
 
 Arms, per family (all rescored on the EXACT energy, fixed seeds):
   ga          GA at equal GENERATIONS: exact vs fast @ --cull-eps.
@@ -40,7 +43,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FAMILIES = ["synthetic", "gradient", "portrait", "texture", "text"]
+FAMILIES = [
+    "synthetic", "gradient", "portrait", "texture", "text", "natural", "photo",
+]
 _BLOCK = 1000  # jitted GA scan-block length for every run (one compile)
 
 
@@ -67,10 +72,9 @@ def main() -> None:
                     "flagship recipe; same two-stage structure)")
     ap.add_argument("--pipeline-adam-steps", type=int, default=400)
     ap.add_argument("--pipeline-n-splats", type=int, default=512)
-    ap.add_argument("--pipeline-families", default="gradient,portrait",
-                    help="pipeline-arm families (gradient = the family "
-                    "where equal-wall fast GA was weakest; portrait = "
-                    "natural-image statistics)")
+    ap.add_argument("--pipeline-families", default="",
+                    help="pipeline-arm families (default: every selected "
+                    "family — round 5, VERDICT r4 item 6)")
     ap.add_argument("--impl", default="pallas",
                     help="renderer impl (xla: CPU protocol smoke-testing)")
     ap.add_argument("--size", type=int, default=512,
@@ -245,10 +249,16 @@ def main() -> None:
 
     # ---- pipeline: the SHIPPED two-stage recipe (grow-auto GA + Adam
     # polish) through the real run_pipeline entry, in-process so the jit
-    # caches carry across seeds/arms (12 fresh compile-heavy processes is
-    # exactly the axon-tunnel degradation pattern — CLAUDE.md). Reduced
-    # budget vs the 100k-gen flagship recipe; rescored on the exact
-    # energy from the saved genome, so the row is parse-free.
+    # caches carry across seeds/arms (dozens of fresh compile-heavy
+    # processes is exactly the axon-tunnel degradation pattern —
+    # CLAUDE.md). Wall decontamination (round 5, VERDICT r4 item 6): one
+    # UNTIMED warmup pipeline run per arm absorbs every stage compile
+    # (stage jit keys depend on shapes/flags, identical across families
+    # and seeds), so every timed wall below is steady-state — the
+    # equal-isolation property fresh processes would give, without the
+    # tunnel risk. Reduced budget vs the 100k-gen flagship recipe;
+    # rescored on the exact energy from the saved genome, so the row is
+    # parse-free.
     if "pipeline" in arms:
         import shutil
         import tempfile
@@ -264,6 +274,20 @@ def main() -> None:
             (f"fast-eps{args.cull_eps:g}",
              ["--precision", "fast", "--cull-eps", str(args.cull_eps)]),
         ]
+        for label, extra in pipe_arms:  # untimed compile-absorbing warmups
+            outdir = tempfile.mkdtemp(prefix="qpipe-warm-")
+            try:
+                run_pipeline.main([
+                    "--image", f"{pipe_fams[0]}:{H}x{W}",
+                    "--output-dir", outdir,
+                    "--n-splats", str(args.pipeline_n_splats),
+                    "--ga-generations", str(args.pipeline_gens),
+                    "--adam-steps", str(args.pipeline_adam_steps),
+                    "--seed", "0", "--no-video",
+                ] + extra)
+            finally:
+                shutil.rmtree(outdir, ignore_errors=True)
+        print("[quality] pipeline warmup done", file=sys.stderr, flush=True)
         for family in pipe_fams:
             tgt = io_mod.ensure_hw(jnp.asarray(targets[family]), H, W)
             for label, extra in pipe_arms:
