@@ -270,6 +270,11 @@ def main() -> None:
         pipe_fams = [f for f in args.pipeline_families.split(",") if f]
         pipe_fams = [f for f in pipe_fams if f in targets] or families
         pipe_arms = [
+            # "exact" = the runners' DEFAULT exact tier (highest through
+            # round 4; the deterministic exact-tight since the round-5
+            # promotion, DESIGN §8e) — the shipped recipe as a user gets
+            # it; rows stay comparable because every final is rescored on
+            # the highest energy below.
             ("exact", []),
             (f"fast-eps{args.cull_eps:g}",
              ["--precision", "fast", "--cull-eps", str(args.cull_eps)]),

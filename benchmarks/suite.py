@@ -378,7 +378,7 @@ def bench_canvas4k(quick: bool):
     )
     f = jax.jit(lambda g: render_pallas(g, H, W))
     dt = _time(lambda: f(g9), 5 if quick else 20)
-    return [
+    rows = [
         {
             "config": "canvas-4k",
             "metric": "full-canvas renders/s",
@@ -386,6 +386,26 @@ def bench_canvas4k(quick: bool):
             "detail": f"N={N} {H}x{W} scatter binning, chained chunk passes",
         }
     ]
+    # fast-mode rows (round 5): the exact row above is pinned by the
+    # bit-exactness contract and cannot cull; the band-level corner cull
+    # (_corner_band_xranges) is a fast-mode feature, so its large-canvas
+    # effect shows here — corner OFF vs ON at the validated selection ε.
+    for label, corner in (("canvas-4k-fast", False), ("canvas-4k-fast-corner", True)):
+        ff = jax.jit(
+            lambda g, c=corner: render_pallas(
+                g, H, W, precision="fast", cull_eps=8e-2, corner_cull=c
+            )
+        )
+        dtf = _time(lambda: ff(g9), 5 if quick else 20)
+        rows.append(
+            {
+                "config": label,
+                "metric": "full-canvas renders/s",
+                "value": round(1.0 / dtf, 2),
+                "detail": f"N={N} {H}x{W} fast eps=8e-2 corner_cull={corner}",
+            }
+        )
+    return rows
 
 
 BENCHES = {

@@ -32,9 +32,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--boost-only", action="store_true")
     p.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument(
-        "--precision", default="highest", choices=["highest", "exact-tight", "fast", "bf16"],
-        help="fast: +8%% fused evaluation at ~5e-5 canvas error (exp2 walk); "
-        "highest stays oracle-exact; bf16 is a tested mode, not faster",
+        "--precision", default="exact-tight",
+        choices=["highest", "exact-tight", "fast", "bf16"],
+        help="exact-tight (default): the deterministic exact f32 walk over "
+        "the tight k-sigma box — no tolerance term, ~+10%%, GA quality "
+        "identical to highest (benchmarks/tier_ab.py, DESIGN §8e); "
+        "highest: the reference's conservative box (bit-exact vs the "
+        "oracle — reproduction runs); fast: +selection-validated ε-cull "
+        "(~5e-5 canvas error + the cull tail); bf16 is a tested mode, "
+        "not faster",
     )
     p.add_argument(
         "--cull-eps", type=float, default=None,
@@ -403,7 +409,10 @@ def main(argv=None) -> None:
         )
         best_fit = float(
             _objective.evaluate(
-                obj._replace(precision="highest", cull_eps=None),
+                # H/W too: --progressive leaves obj at the ORIGINAL work
+                # size while the winning genome lives at the final stage
+                # size (H, W was rebound after the stage loop)
+                obj._replace(H=H, W=W, precision="highest", cull_eps=None),
                 _jnp.asarray(best)[None],
                 io_mod.ensure_hw(_jnp.asarray(target), H, W),
                 _wm,

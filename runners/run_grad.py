@@ -40,13 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--anneal-frac", type=float, default=0.6)
     p.add_argument(
-        "--precision", default="highest",
+        "--precision", default="exact-tight",
         choices=["highest", "exact-tight", "fast"],
-        help="fast = Adam on the ε-culled render (exact grads of that "
+        help="exact-tight (default) = the deterministic tight k-sigma box "
+        "render — no ε/tolerance term, ~+10%%, truncation residual in the "
+        "class §8d measured polish-neutral (DESIGN §8e). "
+        "highest = the reference's conservative box. "
+        "fast = Adam on the ε-culled render (exact grads of that "
         "culled objective; sub-ε-alpha splats get zero grad — DESIGN §8d). "
-        "exact-tight = the deterministic tight k-sigma box render (no "
-        "ε/tolerance term, ~+10%% — DESIGN §8e). "
-        "Final loss/PSNR are always rescored exactly.",
+        "Final loss/PSNR are always rescored on the highest energy.",
     )
     p.add_argument(
         "--cull-eps", type=float, default=None,

@@ -55,9 +55,12 @@ def main(argv=None) -> None:
     )
     p.add_argument("--ssim-weight", type=float, default=0.5)
     p.add_argument(
-        "--precision", default="highest", choices=["highest", "exact-tight", "fast", "bf16"],
+        "--precision", default="exact-tight",
+        choices=["highest", "exact-tight", "fast", "bf16"],
         help="GA-stage evaluation mode (the Adam polish always runs exact); "
-        "fast is selection-equivalent and ~18%% faster (DESIGN §8c)",
+        "exact-tight (default) is deterministic and ~+10%% over highest at "
+        "identical GA quality (tier_ab.py, DESIGN §8e); fast is "
+        "selection-equivalent and ~18%% faster still (DESIGN §8c)",
     )
     p.add_argument(
         "--cull-eps", type=float, default=None,

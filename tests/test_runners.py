@@ -100,12 +100,24 @@ def test_run_ga_progressive_fixed_mask_cli(tmp_path, target_png):
 
 @pytest.mark.slow
 def test_run_sa_cli_with_metric(tmp_path, target_png):
-    _run("run_sa.py", [
+    r = _run("run_sa.py", [
         "--image", target_png, "--output-dir", str(tmp_path),
         "--work-max-side", "24", "--n-splats", "8", "--iterations", "20",
         "--log-every", "10", "--no-video", "--impl", "xla", "--metric", "mix",
     ])
     assert (tmp_path / "sa_splats.png").exists()
+    # default tier is exact-tight (round 5, DESIGN §8e) -> the reported
+    # final must be the mode-independent exact rescore, like run_ga's
+    assert "exact rescore" in r.stdout
+
+
+def test_runner_default_precision_is_exact_tight():
+    """Round-5 tier decision (DESIGN §8e): every runner defaults to the
+    deterministic exact-tight tier; `highest` stays the reference-parity
+    tier. Pinned via the help text that states the default."""
+    for script in ("run_ga.py", "run_sa.py", "run_grad.py", "run_pipeline.py"):
+        r = _run(script, ["--help"])
+        assert "exact-tight (default)" in " ".join(r.stdout.split()), script
 
 
 @pytest.mark.slow
