@@ -5,13 +5,18 @@ Usage:
 
 Configs (BASELINE.json "configs" + render microbenchmarks):
     render-512           raw fused evaluation, 512 splats @ 512^2
-                         (f32 exact, fast, fast @ the validated cull-eps, bf16)
+                         (f32 exact, exact-tight, fast, fast @ the
+                         validated cull-eps, bf16)
+    mix-512              unsharded SSIM/MSE mix evaluation, exact vs fast
     sa-64-gray           SA iterations/s: 64 splats -> 64^2 target
     ga-256               GA generations/s: pop 64, 256 splats -> 256^2
     grad-2k              Adam steps/s: 2000 splats @ 512^2 (pallas VJP)
     grad-10k-1024        Adam steps/s: 10k splats @ 1024^2 (chunk-chained VJP)
     grad-pop-2k          population Adam: 16 genomes x 2k splats @ 512^2
     memetic-256          hybrid GA+SGD generations/s: pop 256 (chunked eval)
+    big-10k-1024         fused fitness, 10k splats @ 1024^2 (chunked passes)
+    canvas-4k            full-canvas render, 50k splats @ 4096^2 (scatter
+                         binning; exact + fast/fast-corner rows)
 
 Each config prints one JSON line; --out also writes the list to a file.
 """
